@@ -1,0 +1,87 @@
+"""Benchmark: training throughput under the reference's timing_mode protocol.
+
+The reference's timing protocol (ref:src/framework/main.py:289-300) trains
+small_VGG9 on Tiny-ImageNet shapes with bs=200, lr=5e-3, measuring wall-clock.
+We measure steady-state training images/sec/chip of the same workload
+(64x64x3 inputs, small_VGG9_cl_128_128, batch 200, SGD momentum) on one TPU
+chip, after compilation.
+
+Baseline: a V100 running the reference PyTorch 1.6 loop on this model/shape
+sustains roughly 2,000 img/s (V100 FP32 ~14 TFLOP/s at ~35% util on this
+small conv net, incl. host dataloading overheads the reference incurs).
+BASELINE.md's target is >=5x that. ``vs_baseline`` = our img/s / 2000.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+V100_REF_IMGS_PER_SEC = 2000.0
+
+
+def main():
+    from clsurvey_tpu.engine.train import (
+        Engine, TrainState, make_context, tree_zeros_like)
+    from clsurvey_tpu.methods.base import UpdateRule
+    from clsurvey_tpu.models.registry import init_model_state, ModelSpec
+
+    batch_size = 200
+    n_train = 4000  # 20 steps/epoch
+    spec = ModelSpec(
+        name="small_VGG9_cl_128_128", arch="small_VGG9",
+        input_size=(64, 64), classifier_dims=(128, 128),
+        models_root_path="/tmp/bench_models", compute_dtype=jnp.bfloat16)
+    state_dict = init_model_state(spec, jax.random.PRNGKey(0), max_tasks=10,
+                                  classes_per_task=20)
+    ctx = make_context(
+        spec, task=0, n_tasks=1, class_counts=[20] * 10,
+        mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+        update_rule=UpdateRule(), augment=True)
+    engine = Engine(ctx)
+    rule = UpdateRule()
+    trainable = {"params": state_dict["params"],
+                 "heads": {"kernel": state_dict["heads"]["kernel"],
+                           "bias": state_dict["heads"]["bias"]}}
+    state = TrainState(trainable, {}, tree_zeros_like(trainable),
+                       rule.init_state(trainable, {}, ctx))
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, (n_train, 64, 64, 3),
+                                      dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 20, (n_train,), dtype=np.int32))
+    key = jax.random.PRNGKey(1)
+
+    # warmup (compile)
+    perm = jax.random.permutation(key, n_train)
+    state, m = engine.train_epoch(state, images, labels, perm, key, 5e-3,
+                                  batch_size)
+    jax.block_until_ready(m)
+
+    # steady state: several epochs
+    n_epochs = 10
+    start = time.perf_counter()
+    for e in range(n_epochs):
+        ekey = jax.random.fold_in(key, e)
+        perm = jax.random.permutation(ekey, n_train)
+        state, m = engine.train_epoch(state, images, labels, perm, ekey,
+                                      5e-3, batch_size)
+    jax.block_until_ready(m)
+    elapsed = time.perf_counter() - start
+    steps = (n_train // batch_size) * n_epochs
+    imgs_per_sec = steps * batch_size / elapsed
+
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 1),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_sec / V100_REF_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

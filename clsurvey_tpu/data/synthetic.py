@@ -1,0 +1,83 @@
+"""Synthetic task sequences — the framework's CPU-runnable test dataset.
+
+The reference has no test data generator (its de-facto smoke test is the
+``debug`` runmode on real Tiny-ImageNet, ref:src/framework/main.py:269-277).
+We provide a deterministic class-conditional image generator so the full
+framework — grid search, hyperparameter decay, every method — runs end-to-end
+in seconds on CPU or a single TPU chip, and so unit tests have learnable
+structure (each class is a distinct smooth color/gradient pattern + noise)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from clsurvey_tpu.data.registry import (
+    SplitData, TaskData, TaskSequence, register_dataset)
+
+
+def _class_image(rng: np.random.Generator, proto: np.ndarray,
+                 n: int, noise: float) -> np.ndarray:
+    imgs = proto[None] + rng.normal(0, noise * 255.0, (n,) + proto.shape)
+    return np.clip(imgs, 0, 255).astype(np.uint8)
+
+
+class SyntheticSequence(TaskSequence):
+    """``synthetic[_<tasks>t_<classes>c_<size>px]``, e.g. synthetic_3t_5c_32px."""
+
+    def __init__(self, ds_name: str = "synthetic", task_count: int = 3,
+                 classes_per_task_n: int = 5, input_px: int = 32,
+                 n_train: int = 64, n_val: int = 32, n_test: int = 32,
+                 noise: float = 0.08, seed: int = 7, **_):
+        # parse inline options from the name
+        for seg in ds_name.split("_")[1:]:
+            if seg.endswith("t"):
+                task_count = int(seg[:-1])
+            elif seg.endswith("c"):
+                classes_per_task_n = int(seg[:-1])
+            elif seg.endswith("px"):
+                input_px = int(seg[:-2])
+        self.name = ds_name
+        self.task_count = task_count
+        self.input_size = (input_px, input_px)
+        self.classes_per_task = {
+            str(t): classes_per_task_n for t in range(1, task_count + 1)}
+        self._n = (n_train, n_val, n_test)
+        self._noise = noise
+        self._seed = seed
+        self._cache: dict[int, TaskData] = {}
+
+    def get_task_dataset(self, task: int) -> TaskData:
+        if task in self._cache:
+            return self._cache[task]
+        assert 1 <= task <= self.task_count, task
+        h, w = self.input_size
+        ncls = self.classes_per_task[str(task)]
+        rng = np.random.default_rng(self._seed * 1000 + task)
+        # distinct smooth prototype per (task, class): random low-frequency
+        # gradient field, so a small conv net separates classes quickly
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        protos = []
+        for c in range(ncls):
+            # strong class identity: a distinct solid color anchor plus a
+            # class-specific low-frequency spatial pattern
+            color = rng.uniform(40, 215, 3)
+            freq = rng.uniform(1.0, 3.0, 2)
+            phase = rng.uniform(0, 2 * np.pi, 2)
+            pattern = (np.sin(2 * np.pi * freq[0] * xx / w + phase[0])
+                       + np.sin(2 * np.pi * freq[1] * yy / h + phase[1]))
+            base = color[None, None, :] + 40.0 * pattern[..., None]
+            protos.append(np.clip(base, 0, 255).astype(np.float32))
+        splits = []
+        for n_per in self._n:
+            images = np.concatenate(
+                [_class_image(rng, protos[c], n_per, self._noise)
+                 for c in range(ncls)], axis=0)
+            labels = np.repeat(np.arange(ncls, dtype=np.int32), n_per)
+            perm = rng.permutation(len(labels))
+            splits.append(SplitData(images[perm], labels[perm]))
+        td = TaskData(*splits, classes=[f"c{c}" for c in range(ncls)])
+        self._cache[task] = td
+        return td
+
+
+register_dataset("synthetic", SyntheticSequence)

@@ -1,0 +1,462 @@
+"""The training engine: ONE compiled train step for every CL method.
+
+The reference implements eleven separate PyTorch epoch loops with custom SGD
+subclasses that inject each method's regularizer into ``optimizer.step``
+(ref:SURVEY §2.3). Here there is a single engine:
+
+- the epoch is a ``lax.scan`` over batches inside one ``jax.jit`` — weights,
+  momentum, method state and metrics never leave the device during an epoch;
+- batches are gathered on-device from the task's resident uint8 dataset and
+  sharded over the data mesh axis (``parallel/mesh.py``); XLA GSPMD inserts
+  the gradient/metric psums on ICI;
+- method mechanics plug in via ``UpdateRule`` pure functions
+  (``methods/base.py``) evaluated inside the same compiled step, reproducing
+  the reference's "regularizer inside optimizer.step" order exactly:
+  CE-grads (+ distillation terms) -> + penalty grads -> masking/projection ->
+  + weight decay -> momentum -> masked update
+  (ref:src/methods/EWC/train_EWC.py:23-86);
+- the SGD hyper-behavior matches the reference's shared protocol: momentum
+  0.9, lr x0.1 after 5 non-improving val epochs, early stop after 10
+  (ref:src/methods/Finetune/train_SGD.py:10-30), best-val model checkpointing
+  and epoch-granular resume (ref:src/methods/Finetune/train_SGD.py:41-189).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from clsurvey_tpu.methods.base import UpdateRule
+from clsurvey_tpu.models import heads as heads_lib
+from clsurvey_tpu.models.registry import ModelSpec
+from clsurvey_tpu.ops import preprocess as pp
+from clsurvey_tpu.parallel import mesh as mesh_lib
+from clsurvey_tpu.utils import io
+from clsurvey_tpu.utils.paths import (
+    BEST_MODEL_FILENAME, EPOCH_CKPT_FILENAME)
+
+
+@flax.struct.dataclass
+class TrainState:
+    trainable: Any      # {'params': backbone, 'heads': {'kernel','bias'}}
+    batch_stats: Any
+    momentum: Any       # like trainable
+    mstate: Any         # method state (hyper scalars + importance tensors...)
+
+
+@dataclass
+class EngineContext:
+    """Static description of one task-training problem."""
+
+    spec: ModelSpec
+    backbone: Any
+    task: int                     # 0-based head index of the current task
+    n_tasks: int                  # heads active (incl. current)
+    class_counts: np.ndarray      # (max_tasks,) real class counts
+    mean: tuple
+    std: tuple
+    update_rule: UpdateRule
+    augment: bool = True
+    momentum: float = 0.9
+    weight_decay: float = 0.0
+    freeze_backbone: bool = False  # head-only training (LwF warmup,
+    # ref:src/methods/Finetune/main_SGD.py:72 freeze_mode)
+    mesh: Any = None
+
+    def bank(self, trainable: Any) -> dict:
+        return {"kernel": trainable["heads"]["kernel"],
+                "bias": trainable["heads"]["bias"],
+                "class_counts": self.class_counts}
+
+    def forward_feats(self, params, batch_stats, x, train: bool,
+                      rng: jax.Array):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        rngs = {"dropout": rng} if (train and self.spec.uses_dropout) else None
+        if train and self.spec.has_batch_stats:
+            feats, mut = self.backbone.apply(
+                variables, x, train=True, rngs=rngs, mutable=["batch_stats"])
+            return feats, mut.get("batch_stats", batch_stats)
+        feats = self.backbone.apply(variables, x, train=train, rngs=rngs)
+        return feats, batch_stats
+
+    def task_logits(self, trainable, feats):
+        return heads_lib.forward(self.bank(trainable), feats, self.task)
+
+    def all_logits(self, trainable, feats):
+        return heads_lib.forward_all(self.bank(trainable), feats, self.n_tasks)
+
+    def shared_logits(self, trainable, feats):
+        return heads_lib.shared_logits(self.bank(trainable), feats,
+                                       self.n_tasks)
+
+    def preprocess(self, rng, images_u8):
+        x = pp.preprocess(rng, images_u8, self.mean, self.std, self.augment)
+        if self.mesh is not None:
+            x = mesh_lib.constrain_batch(x, self.mesh)
+        return x
+
+
+def make_context(spec: ModelSpec, task: int, n_tasks: int,
+                 class_counts, mean, std, update_rule: UpdateRule,
+                 **kwargs) -> EngineContext:
+    return EngineContext(
+        spec=spec, backbone=spec.make_backbone(), task=task, n_tasks=n_tasks,
+        class_counts=np.asarray(class_counts, np.int32), mean=tuple(mean),
+        std=tuple(std), update_rule=update_rule,
+        mesh=kwargs.pop("mesh", mesh_lib.get_mesh()), **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+def tree_scale_add(a, b, s):
+    """a + s*b"""
+    return jax.tree_util.tree_map(lambda x, y: x + s * y, a, b)
+
+
+def tree_zeros_like(a):
+    return jax.tree_util.tree_map(jnp.zeros_like, a)
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+class Engine:
+    """Builds + caches the compiled train-epoch and eval functions for one
+    EngineContext. Reusable across Phase-2 decay attempts (hyperparameters
+    are device scalars inside mstate, so re-runs hit the jit cache)."""
+
+    def __init__(self, ctx: EngineContext):
+        self.ctx = ctx
+        self._train_epoch = jax.jit(self._train_epoch_impl,
+                                    static_argnums=(6,),
+                                    donate_argnums=(0,))
+        self._eval_batch_cache: dict = {}
+
+    # ---- compiled pieces --------------------------------------------------
+
+    def _base_loss_and_grads(self, trainable, batch_stats, batch, mstate,
+                             rng):
+        ctx = self.ctx
+        x, y = batch
+        rng_drop, rng_extra = jax.random.split(rng)
+
+        def loss_fn(tr):
+            feats, new_bs = ctx.forward_feats(
+                tr["params"], batch_stats, x, True, rng_drop)
+            logits = ctx.task_logits(tr, feats)
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+            extra = ctx.update_rule.extra_loss(
+                ctx, tr, feats, batch, mstate, rng_extra)
+            acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
+            return ce + extra, (new_bs, ce, acc)
+
+        (loss, (new_bs, ce, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable)
+        return loss, grads, new_bs, {"loss": ce, "acc": acc}
+
+    def _train_step(self, state: TrainState, x_u8, y, rng, lr):
+        ctx = self.ctx
+        rule = ctx.update_rule
+        rng_pre, rng_step = jax.random.split(rng)
+        x = ctx.preprocess(rng_pre, x_u8)
+        batch = (x, y)
+
+        loss, grads, new_bs, metrics = rule.compute_grads(
+            ctx, state.trainable, state.batch_stats, batch, state.mstate,
+            rng_step, self._base_loss_and_grads) \
+            if hasattr(rule, "compute_grads") else \
+            self._base_loss_and_grads(state.trainable, state.batch_stats,
+                                      batch, state.mstate, rng_step)
+
+        raw_grads = grads
+        penalty = rule.penalty_grads(state.trainable, state.mstate)
+        if penalty is not None:
+            grads = tree_add(grads, penalty)
+        grads = rule.transform_grads(ctx, grads, state.trainable,
+                                     state.mstate)
+        if ctx.freeze_backbone:
+            grads = {**grads, "params": tree_zeros_like(grads["params"])}
+        if ctx.weight_decay:
+            grads = tree_scale_add(grads, state.trainable, ctx.weight_decay)
+        # torch-SGD momentum: buf = m*buf + d_p ; update = buf
+        new_momentum = jax.tree_util.tree_map(
+            lambda b, g: ctx.momentum * b + g, state.momentum, grads)
+        updates = rule.mask_updates(ctx, new_momentum, state.mstate)
+        new_trainable = tree_scale_add(state.trainable, updates, -lr)
+        new_mstate = rule.post_step(ctx, state.mstate, state.trainable,
+                                    new_trainable, raw_grads, batch)
+        return TrainState(new_trainable, new_bs, new_momentum,
+                          new_mstate), metrics
+
+    def _train_epoch_impl(self, state, images, labels, perm, rng, lr, bsz):
+        steps = perm.shape[0] // bsz
+
+        def body(carry, i):
+            st, r = carry
+            r, sub = jax.random.split(r)
+            idx = jax.lax.dynamic_slice_in_dim(perm, i * bsz, bsz)
+            x = jnp.take(images, idx, axis=0)
+            y = jnp.take(labels, idx, axis=0)
+            st, metrics = self._train_step(st, x, y, sub, lr)
+            return (st, r), metrics
+
+        (state, _), metrics = jax.lax.scan(
+            body, (state, rng), jnp.arange(steps))
+        return state, jax.tree_util.tree_map(jnp.mean, metrics)
+
+    # ---- public API --------------------------------------------------------
+
+    def train_epoch(self, state: TrainState, images, labels, perm, rng, lr,
+                    batch_size: int):
+        batch_size = min(int(batch_size), int(perm.shape[0]))
+        perm = perm[: (perm.shape[0] // batch_size) * batch_size]
+        return self._train_epoch(state, images, labels, perm, rng,
+                                 jnp.asarray(lr, jnp.float32), batch_size)
+
+    def evaluate(self, trainable, batch_stats, images, labels,
+                 batch_size: int, predict: str | Callable = "task",
+                 target_labels=None, n_counter_classes: int | None = None):
+        """Masked-padded accuracy + per-class counters
+        (ref:src/framework/inference.py:8-87 test_model semantics).
+
+        ``predict``: "task" (current-task head), "shared" (extended shared
+        head over all tasks — rehearsal eval), or a callable
+        ``(ctx, trainable, feats) -> logits``.
+        ``target_labels``: override labels (e.g. offset labels for shared
+        eval)."""
+        ctx = self.ctx
+        batch_size = min(int(batch_size), int(images.shape[0]))
+        n = images.shape[0]
+        n_batches = -(-n // batch_size)
+        pad = n_batches * batch_size - n
+        idx = np.concatenate([np.arange(n), np.zeros(pad, np.int64)])
+        weights = np.concatenate([np.ones(n, np.float32),
+                                  np.zeros(pad, np.float32)])
+        idx = jnp.asarray(idx.reshape(n_batches, batch_size))
+        weights = jnp.asarray(weights.reshape(n_batches, batch_size))
+        y_all = jnp.asarray(labels if target_labels is None
+                            else target_labels)
+        if n_counter_classes is None:
+            kernel_c = int(np.max(ctx.class_counts))
+            n_counter_classes = (kernel_c * ctx.n_tasks
+                                 if predict == "shared" else kernel_c)
+
+        key = (predict if isinstance(predict, str) else id(predict),
+               batch_size, images.shape, n_counter_classes)
+        eval_fn = self._eval_batch_cache.get(key)
+        if eval_fn is None:
+            eval_fn = jax.jit(self._make_eval(predict, n_counter_classes))
+            self._eval_batch_cache[key] = eval_fn
+        correct, total, per_class_c, per_class_t = eval_fn(
+            trainable, batch_stats, images, y_all, idx, weights)
+        acc = float(correct) / max(float(total), 1.0)
+        return acc, np.asarray(per_class_c), np.asarray(per_class_t)
+
+    def _make_eval(self, predict, n_classes: int):
+        ctx = self.ctx
+        zero_rng = jax.random.PRNGKey(0)
+
+        def logits_of(tr, bs, x):
+            feats, _ = ctx.forward_feats(tr["params"], bs, x, False, zero_rng)
+            if callable(predict):
+                return predict(ctx, tr, feats)
+            if predict == "task":
+                return ctx.task_logits(tr, feats)
+            if predict == "shared":
+                return ctx.shared_logits(tr, feats)
+            raise ValueError(predict)
+
+        def eval_fn(trainable, batch_stats, images, labels, idx, weights):
+
+            def body(carry, inp):
+                c, t, pcc, pct = carry
+                bidx, w = inp
+                x_u8 = jnp.take(images, bidx, axis=0)
+                y = jnp.take(labels, bidx, axis=0)
+                x = pp.preprocess(zero_rng, x_u8, ctx.mean, ctx.std,
+                                  augment=False)
+                if ctx.mesh is not None:
+                    x = mesh_lib.constrain_batch(x, ctx.mesh)
+                logits = logits_of(trainable, batch_stats, x)
+                hit = (jnp.argmax(logits, -1) == y).astype(jnp.float32) * w
+                pcc = pcc.at[y].add(hit)
+                pct = pct.at[y].add(w)
+                return (c + hit.sum(), t + w.sum(), pcc, pct), None
+
+            init = (jnp.float32(0), jnp.float32(0),
+                    jnp.zeros(n_classes, jnp.float32),
+                    jnp.zeros(n_classes, jnp.float32))
+            (c, t, pcc, pct), _ = jax.lax.scan(body, init, (idx, weights))
+            return c, t, pcc, pct
+
+        return eval_fn
+
+
+# ---------------------------------------------------------------------------
+# Host-side task-training controller
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TrainJob:
+    exp_dir: str
+    num_epochs: int = 70
+    batch_size: int = 200
+    lr: float = 5e-3
+    saving_freq: int = 5            # ref:train_SGD.py saving_freq
+    decay_threshold: int = 5        # lr x0.1 when count == 5
+    early_stop_threshold: int = 10  # stop when count > 10
+    resume: bool = True
+    save_models_mode: bool = True
+    seed: int = 7
+    eval_batch_size: int = 0        # 0 -> use batch_size
+
+    def __post_init__(self):
+        if self.eval_batch_size == 0:
+            self.eval_batch_size = self.batch_size
+
+
+def model_state_dict(ctx: EngineContext, state: TrainState,
+                     meta: dict | None = None) -> dict:
+    """The canonical on-disk model format ({'params','batch_stats','heads',
+    'meta'}) — the inter-task / eval interchange artifact, replacing the
+    reference's whole-module pickles."""
+    return io.to_host({
+        "params": state.trainable["params"],
+        "batch_stats": state.batch_stats,
+        "heads": {"kernel": state.trainable["heads"]["kernel"],
+                  "bias": state.trainable["heads"]["bias"],
+                  "class_counts": np.asarray(ctx.class_counts)},
+        "meta": dict(meta or {}),
+    })
+
+
+def state_from_model(model: dict, mstate: Any) -> TrainState:
+    """Build a fresh TrainState (zero momentum) from a model-state dict."""
+    trainable = {
+        "params": jax.tree_util.tree_map(jnp.asarray, model["params"]),
+        "heads": {"kernel": jnp.asarray(model["heads"]["kernel"]),
+                  "bias": jnp.asarray(model["heads"]["bias"])},
+    }
+    batch_stats = jax.tree_util.tree_map(
+        jnp.asarray, model.get("batch_stats", {}))
+    return TrainState(trainable, batch_stats,
+                      tree_zeros_like(trainable), mstate)
+
+
+def train_task(engine: Engine, job: TrainJob, state: TrainState,
+               task_data, log: Callable = print):
+    """Epoch loop with best-val tracking / lr decay / early stop / resume —
+    behavior of ref:src/methods/Finetune/train_SGD.py:41-189 shared by every
+    method. Returns (best_model_dict, best_val_acc, final_state)."""
+    ctx = engine.ctx
+    os.makedirs(job.exp_dir, exist_ok=True)
+    ckpt_path = os.path.join(job.exp_dir, EPOCH_CKPT_FILENAME)
+    best_path = os.path.join(job.exp_dir, BEST_MODEL_FILENAME)
+
+    train_images = jnp.asarray(task_data.train.images)
+    train_labels = jnp.asarray(task_data.train.labels)
+    val_images = jnp.asarray(task_data.val.images)
+    val_labels = jnp.asarray(task_data.val.labels)
+    n_train = int(train_images.shape[0])
+
+    if ctx.mesh is not None:
+        # replicate everything up front so the first jitted call already sees
+        # the steady-state shardings (avoids a second compile at epoch 1)
+        rep = mesh_lib.replicated(ctx.mesh)
+        state = jax.device_put(state, rep)
+        train_images, train_labels, val_images, val_labels = jax.device_put(
+            (train_images, train_labels, val_images, val_labels), rep)
+
+    start_epoch, lr = 0, job.lr
+    best_acc, val_beat_counts = 0.0, 0
+    best_model = None
+
+    if job.resume and io.exists(ckpt_path):
+        ck = io.load(ckpt_path)
+        start_epoch = ck["epoch"] + 1
+        lr = ck["lr"]
+        best_acc = ck["best_acc"]
+        val_beat_counts = ck["val_beat_counts"]
+        state = TrainState(
+            jax.tree_util.tree_map(jnp.asarray, ck["trainable"]),
+            jax.tree_util.tree_map(jnp.asarray, ck["batch_stats"]),
+            jax.tree_util.tree_map(jnp.asarray, ck["momentum"]),
+            jax.tree_util.tree_map(jnp.asarray, ck["mstate"]))
+        if io.exists(best_path):
+            best_model = io.load(best_path)
+        log(f"=> resumed epoch {start_epoch} lr={lr:g} best={best_acc:.4f}")
+
+    root_key = jax.random.PRNGKey(job.seed)
+    for epoch in range(start_epoch, job.num_epochs):
+        # early stop (ref:train_SGD.py:19-21: count > threshold)
+        if val_beat_counts > job.early_stop_threshold:
+            log("training terminated")
+            break
+        # decay (ref:train_SGD.py:24-29: count == threshold)
+        if val_beat_counts == job.decay_threshold:
+            lr = lr * 0.1
+            log(f"lr is set to {lr:g}")
+
+        ekey = jax.random.fold_in(root_key, epoch)
+        pkey, skey = jax.random.split(ekey)
+        perm = jax.random.permutation(pkey, n_train)
+        state, metrics = engine.train_epoch(
+            state, train_images, train_labels, perm, skey, lr,
+            job.batch_size)
+        train_loss = float(metrics["loss"])
+        train_acc = float(metrics["acc"])
+
+        val_acc, _, _ = engine.evaluate(
+            state.trainable, state.batch_stats, val_images, val_labels,
+            job.eval_batch_size)
+        log(f"epoch {epoch}: loss={train_loss:.4f} "
+            f"train_acc={train_acc:.4f} val_acc={val_acc:.4f} lr={lr:g}")
+
+        if np.isnan(train_loss):
+            # NaN guard aborts training (ref:src/methods/SI/train_SI.py:242)
+            log("NaN loss — aborting training")
+            break
+
+        if val_acc > best_acc:
+            best_acc = val_acc
+            val_beat_counts = 0
+            best_model = model_state_dict(
+                ctx, state, meta={"task": ctx.task, "n_tasks": ctx.n_tasks,
+                                  "epoch": epoch, "val_acc": val_acc})
+            if job.save_models_mode:
+                io.save(best_model, best_path)
+        else:
+            val_beat_counts += 1
+
+        if job.save_models_mode and (epoch % job.saving_freq == 0
+                                     or epoch == job.num_epochs - 1):
+            io.save({
+                "epoch": epoch, "lr": lr, "best_acc": best_acc,
+                "val_beat_counts": val_beat_counts,
+                "trainable": io.to_host(state.trainable),
+                "batch_stats": io.to_host(state.batch_stats),
+                "momentum": io.to_host(state.momentum),
+                "mstate": io.to_host(state.mstate),
+            }, ckpt_path)
+
+    if best_model is None:  # zero-epoch or fully-failed runs
+        best_model = model_state_dict(
+            ctx, state, meta={"task": ctx.task, "n_tasks": ctx.n_tasks})
+    return best_model, best_acc, state

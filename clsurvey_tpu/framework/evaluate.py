@@ -1,0 +1,157 @@
+"""Evaluation driver — the (ref task x trained model) accuracy matrix.
+
+Behavior of ref:src/framework/eval.py:11-247: for each reference task i,
+evaluate every model trained at task >= i on task i's test split (with task
+i's head), compute per-task forgetting ``acc_first_model - acc_current``,
+and save per-ref-task result dicts
+
+    {eval_name: {'seq_res': [...], 'seq_forgetting': [...],
+                 'seq_head_acc': [...]}}
+
+to ``test_method_performances<method><i>.pth`` — the exact artifact shape the
+reference's postprocessing/plot pipeline consumes
+(ref:src/framework/eval.py:176-185)."""
+
+from __future__ import annotations
+
+import os
+import traceback
+
+import numpy as np
+
+from clsurvey_tpu.engine.train import Engine, make_context
+from clsurvey_tpu.methods.base import UpdateRule
+from clsurvey_tpu.utils import io, paths as paths_lib
+
+
+def default_inference_eval(manager, model, ref_task: int) -> float:
+    """Load a trained model dict and evaluate ref_task's test split with
+    ref_task's head (ref:src/framework/inference.py:8-87 +
+    ref:src/methods/method.py:1066-1087)."""
+    task_data = manager.dataset.get_task_dataset(ref_task)
+    counts = np.asarray(model["heads"]["class_counts"])
+    ctx = make_context(
+        spec=manager.model_spec, task=ref_task - 1,
+        n_tasks=max(ref_task, int(model["meta"].get("n_tasks", ref_task))),
+        class_counts=counts,
+        mean=manager.dataset.mean, std=manager.dataset.std,
+        update_rule=UpdateRule(), augment=False)
+    engine = Engine(ctx)
+    trainable = {"params": model["params"],
+                 "heads": {"kernel": model["heads"]["kernel"],
+                           "bias": model["heads"]["bias"]}}
+    import jax
+    import jax.numpy as jnp
+    trainable = jax.tree_util.tree_map(jnp.asarray, trainable)
+    acc, _, _ = engine.evaluate(
+        trainable, jax.tree_util.tree_map(jnp.asarray,
+                                          model.get("batch_stats", {})),
+        jnp.asarray(task_data.test.images), jnp.asarray(
+            task_data.test.labels),
+        manager.args.batch_size)
+    return acc
+
+
+def eval_task_steps_accuracy(args, manager, ref_task: int,
+                             model_paths: list) -> dict:
+    """Accuracy of every model >= ref_task on ref_task
+    (ref:src/framework/eval.py:204-247)."""
+    seq_res, seq_head_acc = [], []
+    for trained_idx in range(ref_task, len(model_paths) + 1):
+        model_path = model_paths[trained_idx - 1]
+        if hasattr(manager.method, "inference_eval"):
+            acc = manager.method.inference_eval(
+                manager, model_path, ref_task, trained_idx)
+        else:
+            acc = default_inference_eval(
+                manager, io.load(model_path) if isinstance(model_path, str)
+                else model_path, ref_task)
+        print(f"  ref_task {ref_task} @ model {trained_idx}: acc={acc:.4f}")
+        seq_res.append(acc * 100.0)  # reference stores percentages
+        seq_head_acc.append(acc * 100.0)
+    return {"seq_res": seq_res, "seq_head_acc": seq_head_acc}
+
+
+def eval_all_models_all_tasks(args, manager, model_paths: list,
+                              out_dir: str) -> list:
+    results = []
+    for ref_task in range(1, len(model_paths) + 1):
+        try:
+            res = eval_task_steps_accuracy(args, manager, ref_task,
+                                           model_paths)
+            first = res["seq_res"][0]
+            res["seq_forgetting"] = [first - acc for acc in res["seq_res"]]
+            out = {manager.method.eval_name: res}
+            io.save(out, os.path.join(
+                out_dir,
+                f"test_method_performances{manager.method.eval_name}"
+                f"{ref_task}.pth"))
+            results.append(res)
+        except Exception as e:
+            print(f"EVAL ERROR task {ref_task}: {e}")
+            traceback.print_exc()
+            break
+    return results
+
+
+def eval_single_model_all_tasks(args, manager, model_path, out_dir: str
+                                ) -> list:
+    """Joint: one model, per-task masked shared output
+    (ref:src/framework/eval.py:69-143)."""
+    model = io.load(model_path) if isinstance(model_path, str) else model_path
+    results = []
+    offset = 0
+    import jax
+    import jax.numpy as jnp
+
+    counts = np.asarray(model["heads"]["class_counts"])
+    ctx = make_context(
+        spec=manager.model_spec, task=0, n_tasks=1, class_counts=counts,
+        mean=manager.dataset.mean, std=manager.dataset.std,
+        update_rule=UpdateRule(), augment=False)
+    engine = Engine(ctx)
+    trainable = jax.tree_util.tree_map(jnp.asarray, {
+        "params": model["params"],
+        "heads": {"kernel": model["heads"]["kernel"],
+                  "bias": model["heads"]["bias"]}})
+    batch_stats = jax.tree_util.tree_map(
+        jnp.asarray, model.get("batch_stats", {}))
+    for ref_task in range(1, manager.dataset.task_count + 1):
+        td = manager.dataset.get_task_dataset(ref_task)
+        ncls = td.num_classes
+        lo = offset
+
+        def predict(ctx_, tr, feats, lo=lo, ncls=ncls):
+            logits = ctx_.task_logits(tr, feats)
+            mask = (jnp.arange(logits.shape[-1]) >= lo) & (
+                jnp.arange(logits.shape[-1]) < lo + ncls)
+            return jnp.where(mask, logits, -1e10)
+
+        acc, _, _ = engine.evaluate(
+            trainable, batch_stats, jnp.asarray(td.test.images),
+            jnp.asarray(td.test.labels + lo), args.batch_size,
+            predict=predict,
+            n_counter_classes=int(np.max(counts)))
+        res = {"seq_res": [acc * 100.0], "seq_forgetting": [0.0],
+               "seq_head_acc": [acc * 100.0]}
+        io.save({manager.method.eval_name: res}, os.path.join(
+            out_dir, f"test_method_performances"
+            f"{manager.method.eval_name}{ref_task}.pth"))
+        results.append(res)
+        offset += ncls
+        print(f"  JOINT ref_task {ref_task}: acc={acc:.4f}")
+    return results
+
+
+def main(args, manager, ds_paths, model_paths):
+    """ref:src/framework/eval.py:11-66."""
+    out_dir = paths_lib.get_test_results_path(
+        manager.dataset.name, manager.method.eval_name,
+        manager.model_spec.name, manager.gridsearch_name, manager.exp_name)
+    if hasattr(manager.method, "eval_model_preprocessing"):
+        model_paths = manager.method.eval_model_preprocessing(
+            args, manager, model_paths)
+    if manager.method.name == "joint":
+        return eval_single_model_all_tasks(args, manager, model_paths[-1],
+                                           out_dir)
+    return eval_all_models_all_tasks(args, manager, model_paths, out_dir)

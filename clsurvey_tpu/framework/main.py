@@ -1,0 +1,176 @@
+"""Task-loop entry point (ref:src/framework/main.py:77-300).
+
+Drives a method over a task sequence: parse method/dataset/model, set up the
+shared first-task base model, then per task dispatch to the LR grid
+(``no_framework`` methods) or the two-phase hyperparameter framework, and
+optionally run the eval matrix afterwards."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import traceback
+
+import jax
+
+from clsurvey_tpu import methods as methods_lib
+from clsurvey_tpu.data import registry as data_lib
+from clsurvey_tpu.framework import hyperparam, lr_grid
+from clsurvey_tpu.framework.common import Manager, RunArgs
+from clsurvey_tpu.models import registry as models_lib
+from clsurvey_tpu.utils import io, paths as paths_lib, rng as rng_lib, timing
+from clsurvey_tpu.utils.config import load_config
+
+
+def get_init_model_path(args: RunArgs, manager: Manager) -> str:
+    """First-task init: methods that don't start from scratch reuse the SI
+    first-task base model (ref:src/framework/main.py:226-241)."""
+    spec = manager.model_spec
+    if manager.method.start_scratch or args.runmode == \
+            "first_task_basemodel_dump":
+        return spec.path  # the pickled init network
+    base = paths_lib.get_starting_model_path(
+        manager.dataset.name, spec.name,
+        init_model_name=models_lib.get_init_modelname(
+            args.num_epochs, args.batch_size,
+            list(args.boot_lr_grid or args.lr_grid),
+            args.weight_decay, spec.name))
+    if not io.exists(base):
+        raise FileNotFoundError(
+            f"First-task base model missing: {base}\nRun with "
+            f"--runmode first_task_basemodel_dump first "
+            f"(ref:src/main_tinyimagenet.sh:28-33).")
+    return base
+
+
+def overwrite_dump_args(args: RunArgs, manager: Manager) -> None:
+    """first_task_basemodel_dump: train task 1 with SI, shared grid name
+    (ref:src/framework/main.py:280-286)."""
+    args.max_task_count = 1
+    args.starting_task_count = 1
+    args.gridsearch_name = "first_task_basemodel"
+    args.exp_name = models_lib.get_init_modelname(
+        args.num_epochs, args.batch_size,
+        list(args.boot_lr_grid or args.lr_grid), args.weight_decay,
+        args.model_name)
+
+
+def main(args: RunArgs):
+    rng_lib.set_random(args.seed)
+    cfg = load_config()
+    args.apply_runmode()
+
+    method = methods_lib.parse(args.method_name)
+    dataset = data_lib.parse(args.ds_name)
+    spec = models_lib.parse_model_name(
+        cfg.models_root_path, args.model_name, dataset.input_size)
+
+    if args.max_task_count is None:
+        args.max_task_count = dataset.task_count
+    if hasattr(method, "train_args_overwrite"):
+        method.train_args_overwrite(args)
+    method.set_hyperparams(args.hyperparams)
+    if args.static_hyperparams:
+        # static list syntax applies to static_hyperparams keys
+        vals = args.static_hyperparams
+        keys = list(method.static_hyperparams.keys())
+        parts = vals.split(";") if isinstance(vals, str) else vals
+        for k, v in zip(keys, parts):
+            method.static_hyperparams[k] = (
+                float(v) if not isinstance(v, (list, tuple)) else v)
+
+    manager = Manager(
+        args=args, dataset=dataset, method=method, model_spec=spec,
+        gridsearch_name=args.gridsearch_name,
+        exp_name=args.exp_name or paths_lib.get_exp_name(method.hyperparams),
+    )
+
+    if args.runmode == "first_task_basemodel_dump":
+        overwrite_dump_args(args, manager)
+        manager.gridsearch_name = args.gridsearch_name
+        manager.exp_name = args.exp_name
+        existing = manager.best_model_path(1)
+        if io.exists(existing):
+            print("Base model already dumped, refusing overwrite:", existing)
+            return manager
+
+    # create-and-pickle the init network if missing (idempotent)
+    models_lib.create_init_model(
+        spec, jax.random.PRNGKey(args.seed),
+        max_tasks=manager.max_tasks,
+        classes_per_task=dataset.max_classes_per_task,
+        class_counts=dataset.class_count_list() + [0] * (
+            manager.max_tasks - dataset.task_count))
+
+    manager.previous_task_model_path = get_init_model_path(args, manager)
+
+    timer = timing.PhaseTimer()
+    ds_paths, model_paths = [], []
+    for task_counter in range(args.starting_task_count,
+                              args.max_task_count + 1):
+        print("\n" + "*" * 70 + f"\nTRAINING Task {task_counter}\n" + "*" * 70)
+        manager.set_dataset(task_counter)
+        try:
+            with timer.phase(f"task_{task_counter}"):
+                if method.no_framework:
+                    lr_grid.lr_grid_single_task(args, manager,
+                                                save_models_mode="all")
+                else:
+                    hyperparam.framework_single_task(args, manager)
+            ds_paths.append(task_counter)
+            model_paths.append(manager.previous_task_model_path)
+        except RuntimeError as e:  # resumable: rerun continues mid-sequence
+            print("ERROR:", e)
+            traceback.print_exc()
+            break
+    timer.print_timing()
+    timing.print_stats()
+
+    if args.test:
+        from clsurvey_tpu.framework import evaluate as test_lib
+        test_lib.main(args, manager, ds_paths, model_paths)
+    return manager
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    """CLI flags (ref:src/framework/main.py:17-74)."""
+    p = argparse.ArgumentParser("clsurvey_tpu")
+    p.add_argument("model_name", nargs="?",
+                   default="small_VGG9_cl_128_128")
+    p.add_argument("--method_name", default="finetuning")
+    p.add_argument("--ds_name", default="tiny")
+    p.add_argument("--num_epochs", type=int, default=70)
+    p.add_argument("--batch_size", type=int, default=200)
+    p.add_argument("--lr_grid", default="1e-2,5e-3,1e-3,5e-4,1e-4")
+    p.add_argument("--boot_lr_grid", default=None)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--drop_margin", type=float, default=0.2)
+    p.add_argument("--decaying_factor", type=float, default=0.5)
+    p.add_argument("--max_attempts_per_task", type=int, default=10)
+    p.add_argument("--finetune_iterations", type=int, default=1)
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--starting_task_count", type=int, default=1)
+    p.add_argument("--max_task_count", type=int, default=None)
+    p.add_argument("--saving_freq", type=int, default=5)
+    p.add_argument("--gridsearch_name", default="demo")
+    p.add_argument("--exp_name", default=None)
+    p.add_argument("--runmode", default="default")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--hyperparams", default=None)
+    p.add_argument("--static_hyperparams", default=None)
+    p.add_argument("--debug", action="store_true")
+    return p
+
+
+def cli():
+    ns = build_argparser().parse_args()
+    kwargs = vars(ns)
+    for grid_key in ("lr_grid", "boot_lr_grid"):
+        if isinstance(kwargs.get(grid_key), str):
+            kwargs[grid_key] = tuple(
+                float(x) for x in kwargs[grid_key].split(","))
+    main(RunArgs(**kwargs))
+
+
+if __name__ == "__main__":
+    cli()

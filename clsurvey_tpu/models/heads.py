@@ -1,0 +1,100 @@
+"""Stacked multi-head bank — the TPU-native task-head mechanism.
+
+The reference mutates ``model.classifier._modules[last_idx]`` to swap per-task
+heads (ref:src/methods/method.py:230-235, ref:src/utilities/utils.py:235-262
+``get_prev_heads``). Here heads are a single static-shape parameter bank
+
+    kernel: (max_tasks, feat_dim, classes_per_task_max)
+    bias:   (max_tasks, classes_per_task_max)
+
+so that selecting a head is a gather (jit-friendly), running *all* heads (for
+LwF distillation / shared-head replay eval) is one einsum on the MXU, and
+unequal per-task class counts are handled by logit masking to -1e10 — the
+trick the reference uses only for GEM's shared head
+(ref:src/methods/rehearsal/model/gem.py:199-204), adopted globally per
+SURVEY §7 hard-part 3."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e10
+
+
+def init_head_bank(key, max_tasks: int, feat_dim: int, num_classes: int,
+                   class_counts=None) -> dict:
+    """Create the bank. ``class_counts[t]`` = real #classes of task t
+    (defaults to all = num_classes)."""
+    kkey, _ = jax.random.split(key)
+    kernel = 0.01 * jax.random.normal(
+        kkey, (max_tasks, feat_dim, num_classes), dtype=jnp.float32)
+    bias = jnp.zeros((max_tasks, num_classes), dtype=jnp.float32)
+    if class_counts is None:
+        class_counts = [num_classes] * max_tasks
+    return {
+        "kernel": kernel,
+        "bias": bias,
+        # static metadata (numpy, not traced)
+        "class_counts": np.asarray(class_counts, dtype=np.int32),
+    }
+
+
+def reinit_head(bank: dict, task: int, key) -> dict:
+    """Fresh-init one task's head (new task starts with a new random head,
+    matching the reference's replace-last-classifier-layer semantics,
+    ref:src/methods/Finetune/main_SGD.py:50-70)."""
+    kernel = bank["kernel"].at[task].set(
+        0.01 * jax.random.normal(key, bank["kernel"].shape[1:], jnp.float32))
+    bias = bank["bias"].at[task].set(jnp.zeros(bank["bias"].shape[1:]))
+    return {**bank, "kernel": kernel, "bias": bias}
+
+
+def head_params(bank: dict) -> dict:
+    """The trainable pytree leaves of the bank (metadata excluded)."""
+    return {"kernel": bank["kernel"], "bias": bank["bias"]}
+
+
+def forward(bank: dict, feats: jnp.ndarray, task: int) -> jnp.ndarray:
+    """Logits of one task's head, invalid class slots masked to NEG_INF."""
+    kernel = bank["kernel"][task]
+    bias = bank["bias"][task]
+    logits = feats @ kernel + bias
+    n_valid = int(bank["class_counts"][task])
+    if n_valid < logits.shape[-1]:
+        mask = jnp.arange(logits.shape[-1]) < n_valid
+        logits = jnp.where(mask, logits, NEG_INF)
+    return logits
+
+
+def forward_all(bank: dict, feats: jnp.ndarray, n_tasks: int) -> jnp.ndarray:
+    """All heads at once: (B, n_tasks, C) via a single MXU einsum.
+
+    Used by LwF/EBLL distillation over every previous head and by the
+    shared-head replay eval (offset logits), replacing the reference's
+    python loop over stacked head modules
+    (ref:src/methods/LwF/AlexNet_LwF.py:14-38)."""
+    kernel = bank["kernel"][:n_tasks]
+    bias = bank["bias"][:n_tasks]
+    logits = jnp.einsum("bf,tfc->btc", feats, kernel) + bias[None]
+    counts = jnp.asarray(bank["class_counts"][:n_tasks])
+    mask = jnp.arange(logits.shape[-1])[None, :] < counts[:, None]
+    return jnp.where(mask[None], logits, NEG_INF)
+
+
+def shared_logits(bank: dict, feats: jnp.ndarray, n_tasks: int) -> jnp.ndarray:
+    """Flatten all heads into one extended shared head (B, n_tasks*C).
+
+    Equivalent of the rehearsal family's single shared output layer with
+    per-task offsets (ref:src/methods/rehearsal/model/common.py:
+    ``compute_offsets``); invalid slots already NEG_INF-masked."""
+    logits = forward_all(bank, feats, n_tasks)
+    return logits.reshape(feats.shape[0], -1)
+
+
+def task_offsets(bank: dict, n_tasks: int) -> np.ndarray:
+    """Cumulative class offsets of each task in the shared head layout."""
+    counts = np.asarray(bank["class_counts"][:n_tasks])
+    sizes = np.full(n_tasks, bank["kernel"].shape[-1])
+    return np.concatenate([[0], np.cumsum(sizes)])[:-1], counts

@@ -1,0 +1,81 @@
+"""Device mesh + sharding helpers — the framework's communication layer.
+
+The reference has no distributed backend at all (single hardcoded CUDA
+device, ref:SURVEY §2.7). TPU-native equivalent: a 1-D ``data`` mesh over all
+local chips; batches are sharded over it, parameters/importance tensors are
+replicated, and XLA's GSPMD partitioner inserts the ICI collectives (psum of
+gradients, Fisher/Ω accumulations, metric reductions) automatically from the
+sharding annotations. Nothing in the training engine is written per-device —
+the same jitted step runs 1-chip or N-chip depending on the installed mesh."""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+_MESH: Mesh | None = None
+
+
+def make_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def get_mesh() -> Mesh:
+    global _MESH
+    if _MESH is None:
+        _MESH = make_mesh()
+    return _MESH
+
+
+def set_mesh(mesh: Mesh | None) -> None:
+    global _MESH
+    _MESH = mesh
+
+
+@contextmanager
+def use_mesh(mesh: Mesh):
+    global _MESH
+    prev = _MESH
+    _MESH = mesh
+    try:
+        yield mesh
+    finally:
+        _MESH = prev
+
+
+def batch_sharding(ndim: int = 4, mesh: Mesh | None = None) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis, rest replicated."""
+    mesh = mesh or get_mesh()
+    spec = P(mesh.axis_names[0], *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh | None = None) -> NamedSharding:
+    mesh = mesh or get_mesh()
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh | None = None):
+    """Device-put a host batch pytree with leading dim sharded over data."""
+    mesh = mesh or get_mesh()
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sharding(max(x.ndim, 1), mesh)), batch
+    )
+
+
+def constrain_batch(x, mesh: Mesh | None = None):
+    """In-jit sharding constraint: leading dim over data axis."""
+    mesh = mesh or get_mesh()
+    spec = P(mesh.axis_names[0], *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def num_devices(mesh: Mesh | None = None) -> int:
+    mesh = mesh or get_mesh()
+    return mesh.devices.size

@@ -1,0 +1,53 @@
+"""Checkpoint / result-dict IO.
+
+The reference serialises everything with ``torch.save`` pickles
+(ref:SURVEY §5): whole-model pickles ``best_model.pth.tar``, epoch dicts,
+framework-state dicts, and eval result dicts
+``{eval_name: {seq_res, seq_forgetting, seq_head_acc}}``
+(ref:src/framework/eval.py:176-185). We keep the same filenames and dict
+shapes but write torch-free pickles of plain-python / numpy objects, so the
+reference's plotting pipeline (which only reads dicts of lists/floats for
+results) keeps working, and our checkpoints carry JAX pytrees as numpy
+arrays. Writes are atomic (tmp + rename) so resume files are never torn."""
+
+from __future__ import annotations
+
+import os
+import pickle
+import tempfile
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def to_host(tree: Any) -> Any:
+    """Device pytree -> numpy pytree (safe to pickle, device-independent)."""
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, (jax.Array, np.ndarray)) else x,
+        tree,
+    )
+
+
+def save(obj: Any, path: str) -> str:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    obj = to_host(obj)
+    directory = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
+def load(path: str) -> Any:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def exists(path: str) -> bool:
+    return os.path.isfile(path)

@@ -1,0 +1,118 @@
+"""Engine + models + data unit/integration tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clsurvey_tpu.data import parse as parse_ds
+from clsurvey_tpu.engine.train import (
+    Engine, TrainJob, TrainState, make_context, state_from_model,
+    train_task, tree_zeros_like)
+from clsurvey_tpu.methods.base import UpdateRule
+from clsurvey_tpu.models import heads as heads_lib
+from clsurvey_tpu.models.registry import (
+    init_model_state, parse_model_name)
+
+
+@pytest.fixture(scope="module")
+def spec(tmp_path_factory):
+    root = tmp_path_factory.mktemp("models")
+    return parse_model_name(str(root), "tiny_CNN_cl_32_32", (32, 32))
+
+
+def test_head_bank_masking():
+    key = jax.random.PRNGKey(0)
+    bank = heads_lib.init_head_bank(key, max_tasks=4, feat_dim=16,
+                                    num_classes=5, class_counts=[5, 3, 5, 5])
+    feats = jax.random.normal(key, (2, 16))
+    logits = heads_lib.forward(bank, feats, 1)
+    assert logits.shape == (2, 5)
+    assert np.all(np.asarray(logits[:, 3:]) <= -1e9)  # masked slots
+    all_logits = heads_lib.forward_all(bank, feats, 3)
+    assert all_logits.shape == (2, 3, 5)
+    np.testing.assert_allclose(np.asarray(all_logits[:, 1, :3]),
+                               np.asarray(logits[:, :3]), rtol=1e-5)
+
+
+def test_vgg_shapes(tmp_path):
+    vgg = parse_model_name(str(tmp_path), "small_VGG9_cl_128_128", (32, 32))
+    state = init_model_state(vgg, jax.random.PRNGKey(1), max_tasks=3,
+                             classes_per_task=5)
+    backbone = vgg.make_backbone()
+    x = jnp.zeros((2, 32, 32, 3))
+    feats = backbone.apply({"params": state["params"]}, x, train=False)
+    assert feats.shape == (2, 128)
+
+
+def test_synthetic_dataset():
+    seq = parse_ds("synthetic_3t_4c_32px")
+    assert seq.task_count == 3
+    td = seq.get_task_dataset(2)
+    assert td.train.images.dtype == np.uint8
+    assert td.train.images.shape[1:] == (32, 32, 3)
+    assert td.num_classes == 4
+    # deterministic
+    td2 = parse_ds("synthetic_3t_4c_32px").get_task_dataset(2)
+    np.testing.assert_array_equal(td.train.images, td2.train.images)
+
+
+def test_train_task_learns(spec, tmp_path):
+    """End-to-end slice: finetune on one synthetic task, acc should be high
+    and artifacts written."""
+    seq = parse_ds("synthetic_2t_4c_32px")
+    td = seq.get_task_dataset(1)
+    state_dict = init_model_state(spec, jax.random.PRNGKey(2), max_tasks=2,
+                                  classes_per_task=4)
+    ctx = make_context(spec, task=0, n_tasks=1, class_counts=[4, 4],
+                       mean=seq.mean, std=seq.std, update_rule=UpdateRule())
+    engine = Engine(ctx)
+    rule = UpdateRule()
+    trainable = {"params": state_dict["params"],
+                 "heads": {"kernel": state_dict["heads"]["kernel"],
+                           "bias": state_dict["heads"]["bias"]}}
+    state = TrainState(trainable, {}, tree_zeros_like(trainable),
+                       rule.init_state(trainable, {}, ctx))
+    job = TrainJob(exp_dir=str(tmp_path / "exp"), num_epochs=12,
+                   batch_size=32, lr=0.01)
+    best_model, best_acc, _ = train_task(engine, job, state, td,
+                                         log=lambda *a: None)
+    assert best_acc > 0.8, best_acc
+    assert (tmp_path / "exp" / "best_model.pth.tar").exists()
+    # eval returns per-class counters summing to dataset size
+    acc, pcc, pct = engine.evaluate(
+        state_from_model(best_model, {}).trainable,
+        best_model["batch_stats"],
+        jnp.asarray(td.test.images), jnp.asarray(td.test.labels), 32)
+    assert pct.sum() == td.test.size
+    assert acc > 0.8
+
+
+def test_resume_from_epoch_ckpt(spec, tmp_path):
+    seq = parse_ds("synthetic_2t_4c_32px")
+    td = seq.get_task_dataset(1)
+    state_dict = init_model_state(spec, jax.random.PRNGKey(2), max_tasks=2,
+                                  classes_per_task=4)
+    ctx = make_context(spec, task=0, n_tasks=1, class_counts=[4, 4],
+                       mean=seq.mean, std=seq.std, update_rule=UpdateRule())
+    engine = Engine(ctx)
+    rule = UpdateRule()
+    def fresh_state():
+        # copies: the engine donates state buffers into the epoch jit
+        trainable = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True),
+            {"params": state_dict["params"],
+             "heads": {"kernel": state_dict["heads"]["kernel"],
+                       "bias": state_dict["heads"]["bias"]}})
+        return TrainState(trainable, {}, tree_zeros_like(trainable),
+                          rule.init_state(trainable, {}, ctx))
+
+    job = TrainJob(exp_dir=str(tmp_path / "exp"), num_epochs=3,
+                   batch_size=32, lr=0.01, saving_freq=1)
+    train_task(engine, job, fresh_state(), td, log=lambda *a: None)
+    # resume with more epochs: must pick up from epoch 3
+    logs = []
+    job2 = TrainJob(exp_dir=str(tmp_path / "exp"), num_epochs=5,
+                    batch_size=32, lr=0.01, saving_freq=1)
+    train_task(engine, job2, fresh_state(), td, log=logs.append)
+    assert any("resumed epoch 3" in str(line) for line in logs), logs
