@@ -335,16 +335,21 @@ class TrainJob:
 def model_state_dict(ctx: EngineContext, state: TrainState,
                      meta: dict | None = None) -> dict:
     """The canonical on-disk model format ({'params','batch_stats','heads',
-    'meta'}) — the inter-task / eval interchange artifact, replacing the
-    reference's whole-module pickles."""
-    return io.to_host({
+    'meta'[,'method_aux']}) — the inter-task / eval interchange artifact,
+    replacing the reference's whole-module pickles (which carry
+    ``model.reg_params`` along, hence ``method_aux``)."""
+    out = {
         "params": state.trainable["params"],
         "batch_stats": state.batch_stats,
         "heads": {"kernel": state.trainable["heads"]["kernel"],
                   "bias": state.trainable["heads"]["bias"],
                   "class_counts": np.asarray(ctx.class_counts)},
         "meta": dict(meta or {}),
-    })
+    }
+    aux = ctx.update_rule.export_aux(state.mstate)
+    if aux is not None:
+        out["method_aux"] = aux
+    return io.to_host(out)
 
 
 def state_from_model(model: dict, mstate: Any) -> TrainState:

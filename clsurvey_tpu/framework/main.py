@@ -53,6 +53,9 @@ def overwrite_dump_args(args: RunArgs, manager: Manager) -> None:
         args.num_epochs, args.batch_size,
         list(args.boot_lr_grid or args.lr_grid), args.weight_decay,
         args.model_name)
+    # force training of task 1 (the whole point of the dump,
+    # ref:src/framework/main.py:280-286)
+    manager.method.start_scratch = True
 
 
 def main(args: RunArgs):

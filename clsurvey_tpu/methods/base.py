@@ -83,6 +83,12 @@ class UpdateRule:
         momentum (PackNet keeps other tasks' weights exactly frozen)."""
         return updates
 
+    def export_aux(self, mstate: Any) -> Any | None:
+        """Method state persisted inside the best-model pickle — the analog
+        of the reference pickling ``model.reg_params`` with the model
+        (importance tensors, SI path integrals, masks, memories)."""
+        return None
+
 
 @dataclass
 class Method:

@@ -1,0 +1,176 @@
+"""Importance-weight estimation kernels (EWC Fisher, MAS, IMM mode-Fisher).
+
+TPU-native replacements for the reference's per-batch python loops with
+backward passes:
+
+- EWC: empirical diagonal Fisher over the previous task's train split,
+  reproducing the reference's exact estimator — the *batch-summed* CE
+  gradient squared, scaled by 1/N (ref:src/methods/EWC/main_EWC.py:138-157:
+  ``omega += p.grad.data ** 2 / data_len`` where p.grad came from a
+  sum-reduced NLL over the batch) — as one jitted lax.scan over batches.
+- MAS: mean absolute per-sample gradient of the squared L2 norm of the
+  output (ref:src/methods/MAS/train_MAS.py:505-567 with batch size 1,
+  ``b1=True`` online mode in ref:src/methods/MAS/main_MAS.py:56-60),
+  vectorized with chunked jax.vmap(jax.grad) instead of N single-sample
+  backward passes.
+- IMM mode: diagonal Fisher with labels *sampled* from the softmax
+  (ref:src/methods/IMM/merge.py:155-185).
+
+All estimators run on backbone params only (the reference's reg dict loses
+the replaced head, see SURVEY §2.3) and reduce over the data axis with psum
+when sharded (XLA inserts it from the shardings)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from clsurvey_tpu.ops import preprocess as pp
+
+
+def _batched_indices(n: int, batch_size: int):
+    """Truncate to whole batches (matches drop-last=False closely enough for
+    importance estimation; the reference iterates all batches — we append a
+    ragged tail batch padded with repeats but weighted 0)."""
+    import numpy as np
+
+    n_batches = -(-n // batch_size)
+    pad = n_batches * batch_size - n
+    idx = np.concatenate([np.arange(n), np.zeros(pad, np.int64)])
+    w = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+    return (jnp.asarray(idx.reshape(n_batches, batch_size)),
+            jnp.asarray(w.reshape(n_batches, batch_size)))
+
+
+def ewc_fisher(ctx, params, batch_stats, heads_bank, task: int,
+               images_u8, labels, batch_size: int):
+    """Diagonal Fisher over a dataset; returns a pytree like ``params``.
+
+    Exactly mirrors the reference estimator: per batch, grad of the
+    sum-reduced NLL wrt params, squared, accumulated /N."""
+    n = int(images_u8.shape[0])
+    idx, w = _batched_indices(n, batch_size)
+    zero_rng = jax.random.PRNGKey(0)
+
+    def batch_loss(p, x, y, wgt):
+        feats, _ = ctx.forward_feats(p, batch_stats, x, False, zero_rng)
+        from clsurvey_tpu.models import heads as heads_lib
+
+        logits = heads_lib.forward(heads_bank, feats, task)
+        losses = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+        return jnp.sum(losses * wgt)
+
+    @jax.jit
+    def run(params):
+        def body(omega, inp):
+            bidx, bw = inp
+            x = pp.normalize(jnp.take(images_u8, bidx, 0), ctx.mean, ctx.std)
+            y = jnp.take(labels, bidx, 0)
+            g = jax.grad(batch_loss)(params, x, y, bw)
+            return jax.tree_util.tree_map(
+                lambda o, gi: o + gi * gi / n, omega, g), None
+
+        omega0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+        omega, _ = jax.lax.scan(body, omega0, (idx, w))
+        return omega
+
+    return run(params)
+
+
+def mas_importance(ctx, params, batch_stats, heads_bank, task: int,
+                   images_u8, chunk: int = 16):
+    """MAS omega: running mean of |per-sample grad of ||f(x)||_2^2|.
+
+    The reference runs batch-size-1 backward passes over the whole previous
+    dataset; here chunked vmap computes per-sample grads in parallel (the
+    math is identical: mean of per-sample |g|)."""
+    import numpy as np
+
+    n = int(images_u8.shape[0])
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    idx = np.concatenate([np.arange(n), np.zeros(pad, np.int64)])
+    w = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+    idx = jnp.asarray(idx.reshape(n_chunks, chunk))
+    w = jnp.asarray(w.reshape(n_chunks, chunk))
+    zero_rng = jax.random.PRNGKey(0)
+
+    def sample_sq_norm(p, x1):
+        feats, _ = ctx.forward_feats(p, batch_stats, x1[None], False,
+                                     zero_rng)
+        from clsurvey_tpu.models import heads as heads_lib
+
+        logits = heads_lib.forward(heads_bank, feats, task)
+        # masked slots are a huge negative constant; exclude them from the
+        # norm (the reference model has exactly n_valid outputs)
+        n_valid = int(heads_bank["class_counts"][task])
+        logits = logits[:, :n_valid]
+        return jnp.sum(logits * logits)
+
+    per_sample_grad = jax.vmap(jax.grad(sample_sq_norm), in_axes=(None, 0))
+
+    @jax.jit
+    def run(params):
+        def body(acc, inp):
+            cidx, cw = inp
+            x = pp.normalize(jnp.take(images_u8, cidx, 0), ctx.mean, ctx.std)
+            g = per_sample_grad(params, x)
+            return jax.tree_util.tree_map(
+                lambda a, gi: a + jnp.tensordot(cw, jnp.abs(gi), axes=1) / n,
+                acc, g), None
+
+        acc0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+        omega, _ = jax.lax.scan(body, acc0, (idx, w))
+        return omega
+
+    return run(params)
+
+
+def imm_mode_fisher(ctx, params, batch_stats, heads_bank, task: int,
+                    splits, batch_size: int, rng):
+    """mode-IMM precision matrix (ref:src/methods/IMM/merge.py:155-185):
+    initialized at 1e-8; for each split (train AND val), per batch the model
+    samples labels from its softmax, takes the *mean*-reduced NLL gradient,
+    and accumulates ``grad^2 / n_batches_of_split``.
+
+    ``splits``: list of (images_u8, ) tuples or arrays."""
+    from clsurvey_tpu.models import heads as heads_lib
+
+    zero_rng = jax.random.PRNGKey(0)
+
+    def batch_loss(p, x, y):
+        feats, _ = ctx.forward_feats(p, batch_stats, x, False, zero_rng)
+        logits = heads_lib.forward(heads_bank, feats, task)
+        return jnp.mean(
+            optax.softmax_cross_entropy_with_integer_labels(logits, y))
+
+    @jax.jit
+    def run_split(omega, params, images_u8, rng):
+        n = images_u8.shape[0]
+        n_batches = n // batch_size  # reference drops no batches; close
+        idx = jnp.arange(n_batches * batch_size).reshape(n_batches,
+                                                         batch_size)
+
+        def body(carry, bidx):
+            om, r = carry
+            r, sub = jax.random.split(r)
+            x = pp.normalize(jnp.take(images_u8, bidx, 0), ctx.mean, ctx.std)
+            feats, _ = ctx.forward_feats(params, batch_stats, x, False,
+                                         zero_rng)
+            logits = heads_lib.forward(heads_bank, feats, task)
+            sampled = jax.random.categorical(sub, logits)
+            g = jax.grad(batch_loss)(params, x, sampled)
+            om = jax.tree_util.tree_map(
+                lambda o, gi: o + gi * gi / n_batches, om, g)
+            return (om, r), None
+
+        (omega, _), _ = jax.lax.scan(body, (omega, rng), idx)
+        return omega
+
+    omega = jax.tree_util.tree_map(
+        lambda p: jnp.full_like(p, 1e-8), params)
+    for images_u8 in splits:
+        rng, sub = jax.random.split(rng)
+        omega = run_split(omega, params, jnp.asarray(images_u8), sub)
+    return omega
