@@ -163,7 +163,8 @@ class Engine:
             ce = optax.softmax_cross_entropy_with_integer_labels(
                 logits, y).mean()
             extra = ctx.update_rule.extra_loss(
-                ctx, tr, feats, batch, mstate, rng_extra)
+                ctx, tr, feats, batch, mstate, rng_extra,
+                batch_stats=batch_stats)
             acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
             return ce + extra, (new_bs, ce, acc)
 
@@ -201,7 +202,8 @@ class Engine:
         updates = rule.mask_updates(ctx, new_momentum, state.mstate)
         new_trainable = tree_scale_add(state.trainable, updates, -lr)
         new_mstate = rule.post_step(ctx, state.mstate, state.trainable,
-                                    new_trainable, raw_grads, batch)
+                                    new_trainable, raw_grads, batch,
+                                    raw_images=x_u8)
         return TrainState(new_trainable, new_bs, new_momentum,
                           new_mstate), metrics
 

@@ -57,8 +57,11 @@ class UpdateRule:
                           for k, v in hyperparams.items()}}
 
     def extra_loss(self, ctx: Any, trainable: Any, feats: jnp.ndarray,
-                   batch: Any, mstate: Any, rng: jax.Array) -> jnp.ndarray:
-        """Differentiated extra loss term (distillation etc.)."""
+                   batch: Any, mstate: Any, rng: jax.Array,
+                   batch_stats: Any = None) -> jnp.ndarray:
+        """Differentiated extra loss term (distillation etc.).
+        ``batch_stats`` are the current model's BN stats for auxiliary
+        forwards (replay/distillation)."""
         return jnp.float32(0.0)
 
     def penalty_grads(self, trainable: Any, mstate: Any) -> Any | None:
@@ -73,9 +76,12 @@ class UpdateRule:
         return grads
 
     def post_step(self, ctx: Any, mstate: Any, old_trainable: Any,
-                  new_trainable: Any, raw_grads: Any, batch: Any) -> Any:
+                  new_trainable: Any, raw_grads: Any, batch: Any,
+                  raw_images: Any = None) -> Any:
         """Per-step state update with the *unregularized* grads (SI path
-        integral) and the current batch (rehearsal ring buffers)."""
+        integral), the preprocessed batch, and the raw uint8 images
+        (rehearsal ring buffers store un-augmented samples, the analog of
+        the reference's path-based memory)."""
         return mstate
 
     def mask_updates(self, ctx: Any, updates: Any, mstate: Any) -> Any:

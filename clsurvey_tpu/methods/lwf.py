@@ -46,7 +46,8 @@ class LwFRule(UpdateRule):
         }
         return state
 
-    def extra_loss(self, ctx, trainable, feats, batch, mstate, rng):
+    def extra_loss(self, ctx, trainable, feats, batch, mstate, rng,
+                   batch_stats=None):
         n_prev = ctx.n_tasks - 1
         if n_prev == 0:
             return jnp.float32(0.0)

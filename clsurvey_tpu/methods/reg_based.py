@@ -91,7 +91,7 @@ class SIRule(QuadRegRule):
         return state
 
     def post_step(self, ctx, mstate, old_trainable, new_trainable,
-                  raw_grads, batch):
+                  raw_grads, batch, raw_images=None):
         w = jax.tree_util.tree_map(
             lambda wi, new, old, g: wi - (new - old) * g,
             mstate["w"], new_trainable["params"], old_trainable["params"],
