@@ -73,14 +73,7 @@ def main(args: RunArgs):
     if hasattr(method, "train_args_overwrite"):
         method.train_args_overwrite(args)
     method.set_hyperparams(args.hyperparams)
-    if args.static_hyperparams:
-        # static list syntax applies to static_hyperparams keys
-        vals = args.static_hyperparams
-        keys = list(method.static_hyperparams.keys())
-        parts = vals.split(";") if isinstance(vals, str) else vals
-        for k, v in zip(keys, parts):
-            method.static_hyperparams[k] = (
-                float(v) if not isinstance(v, (list, tuple)) else v)
+    method.set_hyperparams(args.static_hyperparams, static=True)
 
     manager = Manager(
         args=args, dataset=dataset, method=method, model_spec=spec,

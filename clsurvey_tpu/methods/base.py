@@ -135,25 +135,33 @@ class Method:
         return UpdateRule()
 
     # ---- hyperparameter plumbing (ref:src/methods/method.py:238-274) ------
-    def set_hyperparams(self, spec) -> None:
-        """Accepts "0.5,300", a list, or the ';'-separated list syntax of the
-        reference ("0.1,0.2;5.2" = first hyperparam list, second scalar)."""
+    def set_hyperparams(self, spec, static: bool = False) -> None:
+        """Reference string DSL (ref:src/methods/method.py:238-274):
+        ``"0.5,300"`` -> two scalar hyperparams; ``"0.1,0.2;5.2,300"`` ->
+        two *list* hyperparams; ``def``/empty leaves the default."""
         if spec is None:
             return
+        leave_default = lambda x: x == "def" or x == ""
         if isinstance(spec, str):
-            groups = [g for g in spec.split(";") if g != ""]
-            values = []
+            groups = [g.strip() for g in spec.split(";") if len(g) > 0]
+            values: list = []
             for g in groups:
-                parts = [float(p) for p in g.split(",") if p != ""]
-                values.append(parts if len(parts) > 1 else parts[0])
+                parts = [float(x) for x in g.split(",")
+                         if not leave_default(x)]
+                parts = parts[0] if len(parts) == 1 else parts
+                if len(groups) == 1:
+                    values = parts if isinstance(parts, list) else [parts]
+                else:
+                    values.append(parts)
         elif isinstance(spec, (int, float)):
             values = [float(spec)]
         else:
             values = list(spec)
-        keys = list(self.hyperparams.keys())
-        for key, val in zip(keys, values):
-            self.hyperparams[key] = val
-        self.init_hyperparams = OrderedDict(self.hyperparams)
+        target = self.static_hyperparams if static else self.hyperparams
+        for key, val in zip(list(target.keys()), values):
+            target[key] = val
+        if not static:
+            self.init_hyperparams = OrderedDict(self.hyperparams)
 
     def decay_operator(self, value, factor):
         """Default: multiply (PathNet overrides to increment,

@@ -1,0 +1,526 @@
+"""HAT — Hard Attention to the Task
+(ref:src/methods/HAT/{approaches/hat.py, HAT_utils.py, networks/vgg_hat.py},
+wrapper ref:src/methods/method.py:600-627).
+
+Mechanism: per-layer task embeddings e_t gate every conv/FC output with
+``m = sigmoid(s * e_t)``; s anneals ``1/smax -> smax`` across each epoch's
+batches (ref:hat.py:216-219); the loss adds the sparsity term
+``c * sum(m * (1 - m_prev)) / sum(1 - m_prev)`` (L1/count for task 0,
+ref:hat.py:285-299); gradients of weights used by previous tasks are blocked
+with ``mask_back = 1 - a^{<t}`` expanded per weight (ref:HAT_utils.py:
+185-250, vgg_hat.py:258-295); embedding gradients are cosh-compensated,
+clipped, and the embeddings clamped to +-6 after each step
+(ref:hat.py:236-239).
+
+HAT keeps its own training controller, like the reference's ``Appr``
+(patience 10, lr/3 at half patience, stop at 0, warmup at lr 0.01 with
+lambda=0 for 10 epochs on task 0 and a min-epoch guard, ref:hat.py:139-199)
+— it does NOT share the generic engine's x0.1-at-5 schedule.
+
+TPU design: the whole epoch (s-annealing included) is one jitted lax.scan;
+mask_back is a static device pytree recomputed from the embeddings at task
+start; gates/masks are computed inside the differentiated forward so XLA
+fuses them with the convs."""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clsurvey_tpu.methods import common
+from clsurvey_tpu.methods.base import Category, Method
+from clsurvey_tpu.models import heads as heads_lib
+from clsurvey_tpu.models.backbones import VGG_CFG, conv_init, dense_init
+from clsurvey_tpu.ops import preprocess as pp
+from clsurvey_tpu.utils import io
+from clsurvey_tpu.utils.paths import BEST_MODEL_FILENAME, EPOCH_CKPT_FILENAME
+
+THRES_COSH = 50.0
+THRES_EMB = 6.0
+CLIPGRAD = 10000.0
+emb_init = nn.initializers.normal(stddev=1.0)  # torch Embedding default
+
+
+class HATVGG(nn.Module):
+    """VGG backbone with per-layer task-embedding gates.
+
+    Returns (features, masks): masks is the list of per-layer gate vectors
+    for the requested task (conv layers first, then fc trunk layers),
+    matching ref:vgg_hat.py:90-127."""
+
+    cfg_name: str
+    classifier_dims: Sequence[int]
+    n_tasks: int
+    dropout: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, task, s, train: bool = False,
+                 ones_gates: bool = False):
+        cfg = VGG_CFG[self.cfg_name]
+        masks = []
+        conv_idx = 0
+        for v in cfg:
+            if v == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                continue
+            x = nn.Conv(int(v), (3, 3), padding="SAME", dtype=self.dtype,
+                        kernel_init=conv_init,
+                        name=f"conv_{conv_idx}")(x)
+            x = nn.relu(x)
+            emb = self.param(f"emb_conv_{conv_idx}", emb_init,
+                             (self.n_tasks, int(v)), jnp.float32)
+            gate = jax.nn.sigmoid(s * emb[task])
+            if ones_gates:
+                gate = jnp.ones_like(gate)
+            masks.append(gate)
+            x = x * gate.reshape(1, 1, 1, -1).astype(x.dtype)
+            conv_idx += 1
+        x = x.reshape((x.shape[0], -1))
+        kinit = dense_init if self.cfg_name != "tiny_CNN" else conv_init
+        for j, d in enumerate(self.classifier_dims):
+            x = nn.Dense(int(d), dtype=self.dtype, kernel_init=kinit,
+                         name=f"fc_{j}")(x)
+            x = nn.relu(x)
+            if self.dropout:
+                x = nn.Dropout(rate=0.5, deterministic=not train)(x)
+            emb = self.param(f"emb_fc_{j}", emb_init,
+                             (self.n_tasks, int(d)), jnp.float32)
+            gate = jax.nn.sigmoid(s * emb[task])
+            if ones_gates:
+                gate = jnp.ones_like(gate)
+            masks.append(gate)
+            x = x * gate.astype(x.dtype)
+        return x.astype(jnp.float32), masks
+
+    def conv_channels(self):
+        return [int(v) for v in VGG_CFG[self.cfg_name] if v != "M"]
+
+
+def compute_mask_pre(model: HATVGG, params, task: int, smax: float):
+    """a^{<t}: elementwise max of previous tasks' gates at s=smax
+    (ref:hat.py:57-89 ``init_masks``)."""
+    if task == 0:
+        return None
+    masks_pre = None
+    for t in range(task):
+        _, masks = model.apply({"params": params},
+                               jnp.zeros((1,) + _dummy_hw(model), jnp.float32),
+                               t, jnp.float32(smax))
+        masks = [jax.lax.stop_gradient(m) for m in masks]
+        if masks_pre is None:
+            masks_pre = masks
+        else:
+            masks_pre = [jnp.maximum(a, b) for a, b in zip(masks_pre, masks)]
+    return masks_pre
+
+
+def _dummy_hw(model: HATVGG):
+    # input spatial size is only needed to trace; stored on the instance
+    return model._input_hw  # set by make_hat_model
+
+
+def make_hat_model(spec, n_tasks: int):
+    model = HATVGG(cfg_name=spec.arch, classifier_dims=spec.classifier_dims,
+                   n_tasks=n_tasks, dropout=spec.dropout,
+                   dtype=spec.compute_dtype)
+    object.__setattr__(model, "_input_hw",
+                       (spec.input_size[0], spec.input_size[1], 3))
+    return model
+
+
+def compute_mask_back(model: HATVGG, params, mask_pre, input_size):
+    """1 - get_view_for(a^{<t}) per weight (ref:vgg_hat.py:258-295).
+
+    Returns a pytree matching ``params`` with entries for conv/fc kernels
+    and biases; embedding leaves get ones (never blocked)."""
+    if mask_pre is None:
+        return jax.tree_util.tree_map(jnp.ones_like, params)
+    n_conv = len(model.conv_channels())
+    conv_masks = mask_pre[:n_conv]
+    fc_masks = mask_pre[n_conv:]
+    # spatial size after the pools, for the conv->fc boundary expansion
+    n_pools = sum(1 for v in VGG_CFG[model.cfg_name] if v == "M")
+    smid_h = input_size[0] // (2 ** n_pools)
+    smid_w = input_size[1] // (2 ** n_pools)
+
+    out = {}
+    for name, leaf in params.items():
+        if name.startswith("conv_"):
+            i = int(name.split("_")[1])
+            post = conv_masks[i]
+            kern_view = post.reshape(1, 1, 1, -1)
+            if i == 0:
+                view = jnp.broadcast_to(kern_view, leaf["kernel"].shape)
+            else:
+                pre = conv_masks[i - 1].reshape(1, 1, -1, 1)
+                view = jnp.minimum(
+                    jnp.broadcast_to(kern_view, leaf["kernel"].shape),
+                    jnp.broadcast_to(pre, leaf["kernel"].shape))
+            out[name] = {"kernel": 1.0 - view, "bias": 1.0 - post}
+        elif name.startswith("fc_"):
+            j = int(name.split("_")[1])
+            post = fc_masks[j]
+            post_view = post.reshape(1, -1)
+            if j == 0:
+                # NHWC flatten: channel-fastest -> tile conv mask spatially
+                pre = jnp.tile(conv_masks[-1], smid_h * smid_w)
+            else:
+                pre = fc_masks[j - 1]
+            pre_view = pre.reshape(-1, 1)
+            view = jnp.minimum(
+                jnp.broadcast_to(post_view, leaf["kernel"].shape),
+                jnp.broadcast_to(pre_view, leaf["kernel"].shape))
+            out[name] = {"kernel": 1.0 - view, "bias": 1.0 - post}
+        else:  # embeddings: never blocked
+            out[name] = jnp.ones_like(leaf)
+    return out
+
+
+def sparsity_reg(masks, mask_pre):
+    """ref:hat.py:285-299."""
+    if mask_pre is None:
+        num = sum(jnp.sum(m) for m in masks)
+        den = sum(m.size for m in masks)
+        return num / den
+    num = sum(jnp.sum(m * (1 - mp)) for m, mp in zip(masks, mask_pre))
+    den = sum(jnp.sum(1 - mp) for mp in mask_pre)
+    return num / jnp.maximum(den, 1e-8)
+
+
+# ---------------------------------------------------------------------------
+# HAT engine (own compiled step + controller, like the reference's Appr)
+# ---------------------------------------------------------------------------
+
+class HATEngine:
+    def __init__(self, model: HATVGG, spec, task: int, class_counts,
+                 mean, std, smax: float, lamb_holder, mask_pre, mask_back,
+                 momentum: float = 0.9, weight_decay: float = 0.0,
+                 finetune_mode: bool = False):
+        self.model = model
+        self.spec = spec
+        self.task = task
+        self.class_counts = np.asarray(class_counts, np.int32)
+        self.mean, self.std = tuple(mean), tuple(std)
+        self.smax = float(smax)
+        self.momentum = momentum
+        self.weight_decay = weight_decay
+        self.finetune_mode = finetune_mode
+        self.mask_pre = mask_pre
+        self.mask_back = mask_back
+        self._train_epoch = jax.jit(self._train_epoch_impl,
+                                    static_argnums=(7,),
+                                    donate_argnums=(0,))
+        self._eval = jax.jit(self._eval_impl)
+
+    def bank(self, trainable):
+        return {"kernel": trainable["heads"]["kernel"],
+                "bias": trainable["heads"]["bias"],
+                "class_counts": self.class_counts}
+
+    def _is_emb(self, path):
+        name = getattr(path[0], "key", "")
+        return str(name).startswith("emb_")
+
+    def _train_step(self, state, x_u8, y, rng, lr, s, lamb):
+        import optax
+
+        trainable, momentum = state
+        rng_pre, rng_d = jax.random.split(rng)
+        x = pp.preprocess(rng_pre, x_u8, self.mean, self.std, augment=True)
+
+        def loss_fn(tr):
+            feats, masks = self.model.apply(
+                {"params": tr["params"]}, x, self.task, s, train=True,
+                rngs={"dropout": rng_d} if self.spec.dropout else None,
+                ones_gates=self.finetune_mode)
+            logits = heads_lib.forward(self.bank(tr), feats, self.task)
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+            reg = sparsity_reg(masks, self.mask_pre) \
+                if not self.finetune_mode else 0.0
+            acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
+            return ce + lamb * reg, (ce, acc)
+
+        (loss, (ce, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable)
+
+        def proc_param(path, g, p):
+            is_emb = self._is_emb(path)
+            if self.weight_decay and not is_emb:
+                g = g + self.weight_decay * p
+            if not self.finetune_mode:
+                if is_emb:
+                    num = jnp.cosh(jnp.clip(s * p, -THRES_COSH,
+                                            THRES_COSH)) + 1
+                    den = jnp.cosh(p) + 1
+                    g = g * (self.smax / s) * num / den
+                # clip per-param grad norm (ref clipgrad)
+                norm = jnp.linalg.norm(g)
+                g = g * jnp.minimum(1.0, CLIPGRAD / jnp.maximum(norm, 1e-12))
+            return g
+
+        grads_params = jax.tree_util.tree_map_with_path(
+            proc_param, grads["params"], trainable["params"])
+        if not self.finetune_mode and self.task > 0:
+            grads_params = jax.tree_util.tree_map(
+                jnp.multiply, grads_params, self.mask_back)
+        # heads: only the current task's head trains
+        t = self.task
+        def head_mask(h):
+            keep = (jnp.arange(h.shape[0]) == t).reshape(
+                (-1,) + (1,) * (h.ndim - 1))
+            return jnp.where(keep, h, 0.0)
+        grads_heads = jax.tree_util.tree_map(head_mask, grads["heads"])
+        grads = {"params": grads_params, "heads": grads_heads}
+
+        momentum = jax.tree_util.tree_map(
+            lambda b, g: self.momentum * b + g, momentum, grads)
+        trainable = jax.tree_util.tree_map(
+            lambda p, u: p - lr * u, trainable, momentum)
+        # clamp embeddings (ref:hat.py:238-239)
+        trainable["params"] = jax.tree_util.tree_map_with_path(
+            lambda path, p: jnp.clip(p, -THRES_EMB, THRES_EMB)
+            if self._is_emb(path) else p, trainable["params"])
+        return (trainable, momentum), {"loss": ce, "acc": acc}
+
+    def _train_epoch_impl(self, state, images, labels, perm, rng, lr,
+                          lamb, bsz):
+        steps = perm.shape[0] // bsz
+
+        def body(carry, i):
+            st, r = carry
+            r, sub = jax.random.split(r)
+            idx = jax.lax.dynamic_slice_in_dim(perm, i * bsz, bsz)
+            x = jnp.take(images, idx, axis=0)
+            y = jnp.take(labels, idx, axis=0)
+            progress = i.astype(jnp.float32) / jnp.maximum(steps - 1, 1)
+            s = (self.smax - 1 / self.smax) * progress + 1 / self.smax
+            st, metrics = self._train_step(st, x, y, sub, lr, s, lamb)
+            return (st, r), metrics
+
+        (state, _), metrics = jax.lax.scan(body, (state, rng),
+                                           jnp.arange(steps))
+        return state, jax.tree_util.tree_map(jnp.mean, metrics)
+
+    def _eval_impl(self, trainable, images, labels, idx, weights):
+        def body(carry, inp):
+            c, t_ = carry
+            bidx, w = inp
+            x = pp.preprocess(jax.random.PRNGKey(0),
+                              jnp.take(images, bidx, 0), self.mean,
+                              self.std, augment=False)
+            feats, _ = self.model.apply(
+                {"params": trainable["params"]}, x, self.task,
+                jnp.float32(self.smax), ones_gates=self.finetune_mode)
+            logits = heads_lib.forward(self.bank(trainable), feats,
+                                       self.task)
+            y = jnp.take(labels, bidx, 0)
+            hit = (jnp.argmax(logits, -1) == y).astype(jnp.float32) * w
+            return (c + hit.sum(), t_ + w.sum()), None
+
+        (c, t_), _ = jax.lax.scan(body, (jnp.float32(0), jnp.float32(0)),
+                                  (idx, weights))
+        return c / jnp.maximum(t_, 1.0)
+
+    def evaluate(self, trainable, images, labels, batch_size):
+        n = images.shape[0]
+        batch_size = min(batch_size, n)
+        n_batches = -(-n // batch_size)
+        pad = n_batches * batch_size - n
+        idx = np.concatenate([np.arange(n), np.zeros(pad, np.int64)])
+        w = np.concatenate([np.ones(n, np.float32),
+                            np.zeros(pad, np.float32)])
+        return float(self._eval(
+            trainable, images, labels,
+            jnp.asarray(idx.reshape(n_batches, batch_size)),
+            jnp.asarray(w.reshape(n_batches, batch_size))))
+
+
+def hat_train_task(engine: HATEngine, exp_dir: str, trainable, task_data,
+                   nepochs: int, batch_size: int, lr: float, lamb: float,
+                   seed: int = 7, lr_patience: int = 10,
+                   lr_factor: float = 3.0, warmup: bool = False,
+                   warmup_lr: float = 0.01, warmup_epochs: int = 10,
+                   min_epochs: int = 0, save_models: bool = True,
+                   log=print):
+    """The reference Appr.train controller (ref:hat.py:96-199)."""
+    os.makedirs(exp_dir, exist_ok=True)
+    train_images = jnp.asarray(task_data.train.images)
+    train_labels = jnp.asarray(task_data.train.labels)
+    val_images = jnp.asarray(task_data.val.images)
+    val_labels = jnp.asarray(task_data.val.labels)
+    n_train = int(train_images.shape[0])
+    bsz = min(batch_size, n_train)
+
+    momentum = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+    state = (trainable, momentum)
+    patience = lr_patience
+    cur_lr = warmup_lr if warmup else lr
+    best_acc, best_model = 0.0, None
+    in_warmup = warmup
+    root = jax.random.PRNGKey(seed)
+    for e in range(nepochs):
+        cur_lamb = 0.0 if in_warmup else lamb
+        ekey = jax.random.fold_in(root, e)
+        pkey, skey = jax.random.split(ekey)
+        perm = jax.random.permutation(pkey, n_train)
+        perm = perm[: (n_train // bsz) * bsz]
+        state, metrics = engine._train_epoch(
+            state, train_images, train_labels, perm, skey,
+            jnp.float32(cur_lr), jnp.float32(cur_lamb), bsz)
+        val_acc = engine.evaluate(state[0], val_images, val_labels, bsz)
+        log(f"HAT epoch {e}: loss={float(metrics['loss']):.4f} "
+            f"val={val_acc:.4f} lr={cur_lr:g} lamb={cur_lamb}")
+        if val_acc > best_acc:
+            best_acc = val_acc
+            best_model = io.to_host(state[0])
+            patience = lr_patience
+            if save_models:
+                io.save(best_model, os.path.join(exp_dir,
+                                                 BEST_MODEL_FILENAME))
+        elif not in_warmup:
+            patience -= 1
+            if patience == lr_patience // 2:
+                cur_lr /= lr_factor
+            elif patience <= 0:
+                if e < min_epochs:
+                    pass  # min-epoch guard for the first task
+                else:
+                    break
+        if in_warmup and e >= warmup_epochs:
+            in_warmup = False
+            patience = lr_patience
+            cur_lr = lr
+    if best_model is None:
+        best_model = io.to_host(state[0])
+    return best_model, best_acc
+
+
+# ---------------------------------------------------------------------------
+# Method
+# ---------------------------------------------------------------------------
+
+@dataclass
+class HAT(Method):
+    name: str = "HAT"
+    category: Category = Category.MASK_BASED
+    start_scratch: bool = True
+    hyperparams: "OrderedDict[str, float]" = field(
+        default_factory=lambda: OrderedDict({"smax": 800, "c": 2.5}))
+
+    def _model_and_state(self, manager, n_tasks_total):
+        spec = manager.model_spec
+        model = make_hat_model(spec, n_tasks_total)
+        return model
+
+    def _load_or_init(self, manager, model):
+        """Load the previous HAT model dict, or wrap-init on task 1
+        (ref:HAT/run.py wraps the raw model with embeddings)."""
+        path = manager.previous_task_model_path
+        prev = io.load(path) if path and io.exists(path) else None
+        if prev is not None and prev.get("meta", {}).get("hat"):
+            return prev
+        # task 1: fresh init (embeddings + convs/fcs)
+        spec = manager.model_spec
+        key = jax.random.PRNGKey(manager.args.seed)
+        dummy = jnp.zeros((2, spec.input_size[0], spec.input_size[1], 3))
+        variables = model.init({"params": key, "dropout": key}, dummy, 0,
+                               jnp.float32(1.0))
+        counts = np.zeros(manager.max_tasks, np.int32)
+        seq = manager.dataset
+        for t in range(1, seq.task_count + 1):
+            counts[t - 1] = seq.classes_per_task[seq.get_taskname(t)]
+        bank = heads_lib.init_head_bank(
+            jax.random.fold_in(key, 5), manager.max_tasks,
+            spec.feature_dim, int(counts.max()), counts)
+        return {
+            "params": io.to_host(variables["params"]),
+            "batch_stats": {},
+            "heads": io.to_host({"kernel": bank["kernel"],
+                                 "bias": bank["bias"],
+                                 "class_counts": counts}),
+            "meta": {"hat": True},
+        }
+
+    def _run(self, manager, lr, smax, lamb, exp_dir, finetune_mode,
+             seed, num_epochs):
+        args = manager.args
+        t = manager.task_counter - 1
+        model_mod = self._model_and_state(manager, manager.max_tasks)
+        model = self._load_or_init(manager, model_mod)
+        params = jax.tree_util.tree_map(jnp.asarray, model["params"])
+        mask_pre = None if finetune_mode else compute_mask_pre(
+            model_mod, params, t, smax)
+        mask_back = None if finetune_mode else compute_mask_back(
+            model_mod, params, mask_pre, manager.model_spec.input_size)
+        engine = HATEngine(
+            model_mod, manager.model_spec, t,
+            np.asarray(model["heads"]["class_counts"]),
+            manager.dataset.mean, manager.dataset.std, smax,
+            None, mask_pre, mask_back,
+            weight_decay=args.weight_decay, finetune_mode=finetune_mode)
+        head_key = jax.random.fold_in(jax.random.PRNGKey(seed), 17)
+        trainable = common.prepare_trainable(model, t, head_key,
+                                             reinit_head=True)
+        warmup = (t == 0) and not finetune_mode
+        best_model, best_acc = hat_train_task(
+            engine, exp_dir, trainable, manager.current_task_dataset,
+            nepochs=num_epochs, batch_size=args.batch_size, lr=lr,
+            lamb=lamb, seed=seed, warmup=warmup,
+            min_epochs=num_epochs // 2 if t == 0 else 0,
+            save_models=args.save_models_mode, log=manager.log)
+        out = {
+            "params": best_model["params"],
+            "batch_stats": {},
+            "heads": {"kernel": best_model["heads"]["kernel"],
+                      "bias": best_model["heads"]["bias"],
+                      "class_counts": np.asarray(
+                          model["heads"]["class_counts"])},
+            "meta": {"hat": True, "smax": smax, "task": t},
+        }
+        io.save(out, os.path.join(exp_dir, BEST_MODEL_FILENAME))
+        return out, best_acc
+
+    def grid_train(self, args, manager, lr):
+        """Phase 1: hat_finetune — all-ones gates, full capacity
+        (ref:HAT/approaches/hat_finetune.py:26-33)."""
+        exp_dir = manager.extras["gridsearch_exp_dir"]
+        seed = manager.extras.get("grid_seed", 0)
+        return self._run(manager, lr, smax=float(self.hyperparams["smax"]),
+                         lamb=0.0, exp_dir=exp_dir, finetune_mode=True,
+                         seed=seed, num_epochs=args.num_epochs)
+
+    def train(self, args, manager, hyperparams):
+        exp_dir = manager.extras["heuristic_exp_dir"]
+        return self._run(manager, manager.extras["lr"],
+                         smax=float(hyperparams["smax"]),
+                         lamb=float(hyperparams["c"]), exp_dir=exp_dir,
+                         finetune_mode=False, seed=args.seed,
+                         num_epochs=args.num_epochs)
+
+    def inference_eval(self, manager, model_path, ref_task, trained_idx):
+        model = io.load(model_path) if isinstance(model_path, str) \
+            else model_path
+        smax = float(model["meta"].get("smax", self.hyperparams["smax"]))
+        model_mod = self._model_and_state(manager, manager.max_tasks)
+        engine = HATEngine(
+            model_mod, manager.model_spec, ref_task - 1,
+            np.asarray(model["heads"]["class_counts"]),
+            manager.dataset.mean, manager.dataset.std, smax,
+            None, None, None, finetune_mode=False)
+        trainable = jax.tree_util.tree_map(jnp.asarray, {
+            "params": model["params"],
+            "heads": {"kernel": model["heads"]["kernel"],
+                      "bias": model["heads"]["bias"]}})
+        td = manager.dataset.get_task_dataset(ref_task)
+        return engine.evaluate(trainable, jnp.asarray(td.test.images),
+                               jnp.asarray(td.test.labels),
+                               manager.args.batch_size)

@@ -1,0 +1,397 @@
+"""PathNet — evolutionary module-path selection
+(ref:src/methods/HAT/approaches/pathnet.py, networks/vgg_pathnet.py,
+wrapper ref:src/methods/method.py:559-597; present in the reference but not
+wired into its ``parse()`` — we expose it as ``pathnet``).
+
+Each conv/FC layer is divided into M modules of width ``out/M``; a path
+picks N modules per layer and sums their outputs. A binary tournament
+(P=2) evolves the path: both candidates train for a few epochs, the winner
+survives and the loser is re-seeded as a mutation of the winner (per gene,
+prob 1/(N*L), +=randint(-2,2) mod M, ref:pathnet.py:186-199). Modules used
+by previous tasks' best paths are frozen; unused modules are re-initialised
+at task start (ref:pathnet.py:83-99).
+
+TPU insight: summing N selected modules' outputs equals a single conv with
+the *sum of the selected kernels* (convolution is linear in the kernel), so
+the stacked-module forward is one gather+reduce followed by one full-size
+conv per layer — no ragged module lists, MXU-friendly.
+
+Deviation: the Phase-1 maximal-plasticity variant trains a fixed path with
+all its modules unfrozen (the reference's pathnet_finetune uses full-capacity
+masks)."""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clsurvey_tpu.methods import common
+from clsurvey_tpu.methods.base import Category, Method
+from clsurvey_tpu.models import heads as heads_lib
+from clsurvey_tpu.models.backbones import VGG_CFG, conv_init, dense_init
+from clsurvey_tpu.ops import preprocess as pp
+from clsurvey_tpu.utils import io
+from clsurvey_tpu.utils.paths import BEST_MODEL_FILENAME
+
+
+class PathNetVGG(nn.Module):
+    """Stacked-module VGG. Layer widths are divided by M
+    (ref:vgg_pathnet.py:36-90)."""
+
+    cfg_name: str
+    classifier_dims: Sequence[int]
+    M: int
+    N: int
+    dtype: Any = jnp.float32
+
+    def layer_sizes(self):
+        convs = [int(v) for v in VGG_CFG[self.cfg_name] if v != "M"]
+        fcs = [int(d) for d in self.classifier_dims]
+        return convs, fcs
+
+    @nn.compact
+    def __call__(self, x, path, train: bool = False):
+        """path: (L, N) int32 module indices per layer."""
+        cfg = VGG_CFG[self.cfg_name]
+        conv_idx = 0
+        for v in cfg:
+            if v == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                continue
+            out_w = max(int(v) // self.M, 1)
+            in_w = x.shape[-1]
+            kernel = self.param(f"conv_{conv_idx}_kernel", conv_init,
+                                (self.M, 3, 3, in_w, out_w), jnp.float32)
+            bias = self.param(f"conv_{conv_idx}_bias",
+                              nn.initializers.zeros,
+                              (self.M, out_w), jnp.float32)
+            sel = path[conv_idx]  # (N,)
+            k = jnp.sum(kernel[sel], axis=0)
+            b = jnp.sum(bias[sel], axis=0)
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k.astype(self.dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = nn.relu(x + b.astype(x.dtype))
+            conv_idx += 1
+        x = x.reshape((x.shape[0], -1))
+        n_convs = conv_idx
+        kinit = dense_init if self.cfg_name != "tiny_CNN" else conv_init
+        for j, d in enumerate(self.classifier_dims):
+            out_w = max(int(d) // self.M, 1)
+            in_w = x.shape[-1]
+            kernel = self.param(f"fc_{j}_kernel", kinit,
+                                (self.M, in_w, out_w), jnp.float32)
+            bias = self.param(f"fc_{j}_bias", nn.initializers.zeros,
+                              (self.M, out_w), jnp.float32)
+            sel = path[n_convs + j]
+            k = jnp.sum(kernel[sel], axis=0)
+            b = jnp.sum(bias[sel], axis=0)
+            x = nn.relu(x.astype(self.dtype) @ k.astype(self.dtype)
+                        + b.astype(self.dtype))
+        return x.astype(jnp.float32)
+
+    @property
+    def n_layers(self):
+        convs, fcs = self.layer_sizes()
+        return len(convs) + len(fcs)
+
+
+def module_train_mask(params, path: np.ndarray, frozen: np.ndarray):
+    """(M,)-per-layer gradient gate: 1 for modules in the current path and
+    not frozen by previous best paths (ref ``unfreeze_path``)."""
+    L = frozen.shape[0]
+    per_layer = np.zeros_like(frozen, dtype=np.float32)  # (L, M)
+    for l in range(L):
+        per_layer[l, path[l]] = 1.0
+    per_layer = per_layer * (1.0 - frozen)
+
+    out = {}
+    for name, leaf in params.items():
+        layer = _layer_index(name)
+        gate = jnp.asarray(per_layer[layer])
+        out[name] = gate.reshape((-1,) + (1,) * (leaf.ndim - 1))
+    return out
+
+
+def _layer_index(name: str) -> int:
+    # conv_i_* come first, then fc_j_* (conv count inferred by caller order)
+    kind, idx, _ = name.split("_", 2)
+    return int(idx) if kind == "conv" else _layer_index.n_convs + int(idx)
+
+
+@dataclass
+class PathNet(Method):
+    name: str = "pathnet"
+    category: Category = Category.MASK_BASED
+    start_scratch: bool = True
+    hyperparams: "OrderedDict[str, float]" = field(
+        default_factory=lambda: OrderedDict({"N": 3}))
+    static_hyperparams: "OrderedDict[str, float]" = field(
+        default_factory=lambda: OrderedDict({"M": 20, "generations": 35}))
+
+    P: int = 2
+    lr_patience: int = 10
+    lr_factor: float = 3.0
+
+    def decay_operator(self, value, factor):
+        """PathNet 'decays' by ADDING a module per layer
+        (ref:src/methods/method.py:565-593)."""
+        return int(value) + 1
+
+    # ---- model plumbing -----------------------------------------------------
+    def _module(self, manager, N):
+        spec = manager.model_spec
+        model = PathNetVGG(cfg_name=spec.arch,
+                           classifier_dims=spec.classifier_dims,
+                           M=int(self.static_hyperparams["M"]), N=int(N),
+                           dtype=spec.compute_dtype)
+        convs, _ = model.layer_sizes()
+        _layer_index.n_convs = len(convs)
+        return model
+
+    def _load_or_init(self, manager, model, N):
+        path0 = np.zeros((model.n_layers, int(N)), np.int32)
+        prev = None
+        p = manager.previous_task_model_path
+        if p and io.exists(p):
+            prev = io.load(p)
+        if prev is not None and prev.get("meta", {}).get("pathnet"):
+            return prev
+        spec = manager.model_spec
+        key = jax.random.PRNGKey(manager.args.seed)
+        dummy = jnp.zeros((2, spec.input_size[0], spec.input_size[1], 3))
+        variables = model.init({"params": key}, dummy, jnp.asarray(path0))
+        feat_dim = max(int(spec.classifier_dims[-1])
+                       // int(self.static_hyperparams["M"]), 1)
+        counts = np.zeros(manager.max_tasks, np.int32)
+        seq = manager.dataset
+        for t in range(1, seq.task_count + 1):
+            counts[t - 1] = seq.classes_per_task[seq.get_taskname(t)]
+        bank = heads_lib.init_head_bank(
+            jax.random.fold_in(key, 5), manager.max_tasks, feat_dim,
+            int(counts.max()), counts)
+        return {
+            "params": io.to_host(variables["params"]),
+            "init_params": io.to_host(variables["params"]),  # for reinit
+            "batch_stats": {},
+            "heads": io.to_host({"kernel": bank["kernel"],
+                                 "bias": bank["bias"],
+                                 "class_counts": counts}),
+            "meta": {"pathnet": True},
+            "method_aux": {"best_paths": []},  # list: N may grow per task
+        }
+
+    # ---- compiled pieces ------------------------------------------------------
+    def _make_fns(self, model, mean, std, class_counts, task):
+        import optax
+
+        def bank(tr):
+            return {"kernel": tr["heads"]["kernel"],
+                    "bias": tr["heads"]["bias"],
+                    "class_counts": class_counts}
+
+        @jax.jit
+        def train_epoch(trainable, momentum, images, labels, perm, path,
+                        gates, rng, lr):
+            bsz = min(64, perm.shape[0])
+            steps = perm.shape[0] // bsz
+
+            def step(carry, i):
+                tr, mom, r = carry
+                r, sub, pre = jax.random.split(r, 3)
+                idx = jax.lax.dynamic_slice_in_dim(perm, i * bsz, bsz)
+                x = pp.preprocess(pre, jnp.take(images, idx, 0), mean, std,
+                                  True)
+                y = jnp.take(labels, idx, 0)
+
+                def loss_fn(tr):
+                    feats = model.apply({"params": tr["params"]}, x, path,
+                                        train=True)
+                    logits = heads_lib.forward(bank(tr), feats, task)
+                    return optax.softmax_cross_entropy_with_integer_labels(
+                        logits, y).mean()
+
+                grads = jax.grad(loss_fn)(tr)
+                gp = {n: g * gates[n] for n, g in grads["params"].items()}
+                keep = (jnp.arange(
+                    tr["heads"]["kernel"].shape[0]) == task)
+                gh = jax.tree_util.tree_map(
+                    lambda h: jnp.where(keep.reshape(
+                        (-1,) + (1,) * (h.ndim - 1)), h, 0.0),
+                    grads["heads"])
+                g = {"params": gp, "heads": gh}
+                mom = jax.tree_util.tree_map(
+                    lambda b, gi: 0.9 * b + gi, mom, g)
+                tr = jax.tree_util.tree_map(
+                    lambda p, u: p - lr * u, tr, mom)
+                return (tr, mom, r), None
+
+            (trainable, momentum, _), _ = jax.lax.scan(
+                step, (trainable, momentum, rng), jnp.arange(steps))
+            return trainable, momentum
+
+        @jax.jit
+        def eval_acc(trainable, images, labels, path):
+            x = pp.preprocess(jax.random.PRNGKey(0), images, mean, std,
+                              False)
+            feats = model.apply({"params": trainable["params"]}, x, path)
+            logits = heads_lib.forward(bank(trainable), feats, task)
+            return jnp.mean((jnp.argmax(logits, -1) == labels).astype(
+                jnp.float32))
+
+        return train_epoch, eval_acc
+
+    # ---- evolutionary training (ref:pathnet.py:101-207) -----------------------
+    def _evolve(self, args, manager, N, generations, nepochs_per_gen,
+                exp_dir, seed):
+        t = manager.task_counter - 1
+        model = self._module(manager, N)
+        state = self._load_or_init(manager, model, N)
+        L, M = model.n_layers, int(self.static_hyperparams["M"])
+        aux = state.get("method_aux") or {}
+        best_paths = [np.asarray(bp) for bp in aux.get("best_paths", [])]
+        frozen = np.zeros((L, M), np.float32)
+        for bp in best_paths:
+            for l in range(L):
+                frozen[l, bp[l] % M] = 1.0
+
+        params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+        # reinit non-frozen modules from the stored init (ref:pathnet.py:83)
+        if t > 0 and "init_params" in state:
+            init_p = jax.tree_util.tree_map(jnp.asarray,
+                                            state["init_params"])
+            new_params = {}
+            for name, leaf in params.items():
+                l = _layer_index(name)
+                gate = jnp.asarray(frozen[l]).reshape(
+                    (-1,) + (1,) * (leaf.ndim - 1))
+                new_params[name] = leaf * gate + init_p[name] * (1 - gate)
+            params = new_params
+
+        rng = np.random.default_rng(seed)
+        N = int(N)
+        paths = np.zeros((self.P, L, N), np.int32)
+        for p in range(self.P):
+            for l in range(L):
+                paths[p, l] = rng.permutation(M)[:N]
+
+        trainable = {
+            "params": params,
+            "heads": {"kernel": jnp.asarray(state["heads"]["kernel"]),
+                      "bias": jnp.asarray(state["heads"]["bias"])},
+        }
+        class_counts = np.asarray(state["heads"]["class_counts"])
+        td = manager.current_task_dataset
+        images = jnp.asarray(td.train.images)
+        labels = jnp.asarray(td.train.labels)
+        val_images = jnp.asarray(td.val.images)
+        val_labels = jnp.asarray(td.val.labels)
+        train_epoch, eval_acc = self._make_fns(
+            model, manager.dataset.mean, manager.dataset.std, class_counts,
+            t)
+
+        momenta = [jax.tree_util.tree_map(jnp.zeros_like, trainable)
+                   for _ in range(self.P)]
+        lrs = [manager.extras.get("lr", args.lr_grid[0])] * self.P
+        patience = [self.lr_patience] * self.P
+        best_acc_p = [0.0] * self.P
+        best_overall, best_state, winner = 0.0, io.to_host(trainable), 0
+        key = jax.random.PRNGKey(seed)
+        n_train = int(images.shape[0])
+        for g in range(generations):
+            for p in range(self.P):
+                gates = module_train_mask(trainable["params"], paths[p],
+                                          frozen)
+                for e in range(nepochs_per_gen):
+                    key, pk, sk = jax.random.split(key, 3)
+                    perm = jax.random.permutation(pk, n_train)
+                    bsz = min(64, n_train)
+                    perm = perm[: (n_train // bsz) * bsz]
+                    trainable, momenta[p] = train_epoch(
+                        trainable, momenta[p], images, labels, perm,
+                        jnp.asarray(paths[p]), gates, sk,
+                        jnp.float32(lrs[p]))
+                    acc = float(eval_acc(trainable, val_images, val_labels,
+                                         jnp.asarray(paths[p])))
+                    if acc > best_overall:
+                        best_overall, best_state, winner = (
+                            acc, io.to_host(trainable), p)
+                    if acc > best_acc_p[p]:
+                        best_acc_p[p] = acc
+                        patience[p] = self.lr_patience
+                    else:
+                        patience[p] -= 1
+                        if patience[p] == self.lr_patience // 2:
+                            lrs[p] /= self.lr_factor
+            # restore overall winner, mutate losers (ref:pathnet.py:186-199)
+            trainable = jax.tree_util.tree_map(jnp.asarray, best_state)
+            prob = 1.0 / (N * L)
+            for p in range(self.P):
+                if p == winner:
+                    continue
+                best_acc_p[p] = 0.0
+                lrs[p] = lrs[winner]
+                patience[p] = self.lr_patience
+                for l in range(L):
+                    for k in range(N):
+                        paths[p, l, k] = paths[winner, l, k]
+                        if rng.random() < prob:
+                            paths[p, l, k] = (paths[p, l, k]
+                                              + rng.integers(-2, 2)) % M
+
+        new_best_paths = best_paths + [paths[winner]]
+        out = {
+            "params": io.to_host(best_state["params"]),
+            "init_params": state.get("init_params", state["params"]),
+            "batch_stats": {},
+            "heads": {"kernel": np.asarray(best_state["heads"]["kernel"]),
+                      "bias": np.asarray(best_state["heads"]["bias"]),
+                      "class_counts": class_counts},
+            "meta": {"pathnet": True, "task": t, "N": N},
+            "method_aux": {"best_paths": new_best_paths},
+        }
+        io.save(out, os.path.join(exp_dir, BEST_MODEL_FILENAME))
+        return out, best_overall
+
+    # ---- framework hooks -------------------------------------------------------
+    def grid_train(self, args, manager, lr):
+        manager.extras["lr"] = lr
+        exp_dir = manager.extras["gridsearch_exp_dir"]
+        seed = manager.extras.get("grid_seed", 0)
+        gens = 1  # Phase-1: single fixed path, full epochs
+        return self._evolve(args, manager, int(self.hyperparams["N"]),
+                            gens, args.num_epochs, exp_dir, seed)
+
+    def train(self, args, manager, hyperparams):
+        gens = int(self.static_hyperparams["generations"])
+        nepochs_per_gen = max(args.num_epochs // gens, 1)
+        return self._evolve(args, manager, int(hyperparams["N"]), gens,
+                            nepochs_per_gen,
+                            manager.extras["heuristic_exp_dir"], args.seed)
+
+    def inference_eval(self, manager, model_path, ref_task, trained_idx):
+        model = io.load(model_path) if isinstance(model_path, str) \
+            else model_path
+        aux = model.get("method_aux") or {}
+        path = np.asarray(aux["best_paths"][ref_task - 1])
+        N = path.shape[-1]
+        module = self._module(manager, N)
+        td = manager.dataset.get_task_dataset(ref_task)
+        class_counts = np.asarray(model["heads"]["class_counts"])
+        _, eval_acc = self._make_fns(module, manager.dataset.mean,
+                                     manager.dataset.std, class_counts,
+                                     ref_task - 1)
+        trainable = jax.tree_util.tree_map(jnp.asarray, {
+            "params": model["params"],
+            "heads": {"kernel": model["heads"]["kernel"],
+                      "bias": model["heads"]["bias"]}})
+        return float(eval_acc(trainable, jnp.asarray(td.test.images),
+                              jnp.asarray(td.test.labels),
+                              jnp.asarray(path)))

@@ -1,0 +1,85 @@
+"""EBLL + PathNet sequence tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+COMMON = dict(
+    model_name="tiny_CNN_cl_32_32",
+    ds_name="synthetic_2t_4c_32px",
+    num_epochs=3, batch_size=32, lr_grid=(1e-2,),
+    gridsearch_name="testgrid", max_attempts_per_task=2,
+)
+
+
+def test_autoencoder_learns_identityish():
+    from clsurvey_tpu.methods.ebll import (
+        decode, encode, init_autoencoder)
+
+    ae = init_autoencoder(jax.random.PRNGKey(0), x_dim=8, h_dim=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 8))
+    h = encode(ae, x)
+    assert h.shape == (16, 4)
+    assert float(h.min()) >= 0.0 and float(h.max()) <= 1.0  # sigmoid codes
+    recon = decode(ae, h)
+    assert recon.shape == x.shape
+
+
+def test_ebll_sequence(fresh_config):
+    from clsurvey_tpu.framework.common import RunArgs
+    from clsurvey_tpu.framework.main import main as run_main
+    from clsurvey_tpu.utils import io, paths as paths_lib
+
+    run_main(RunArgs(method_name="SI",
+                     runmode="first_task_basemodel_dump", **COMMON))
+    manager = run_main(RunArgs(
+        method_name="EBLL", test=True,
+        # tiny AE grid: 1 dim x 1 alpha x 1 lr, few epochs
+        static_hyperparams="0.01;5;0.1;16",
+        **COMMON))
+    best = io.load(manager.previous_task_model_path)
+    assert "method_aux" in best
+    encoders = best["method_aux"]["encoders"]
+    assert len(encoders) == 1  # one encoder for task 1
+    out_dir = paths_lib.get_test_results_path(
+        COMMON["ds_name"], "EBLL", COMMON["model_name"], "testgrid",
+        manager.exp_name, create=False)
+    res = io.load(os.path.join(out_dir,
+                               "test_method_performancesEBLL1.pth"))
+    assert len(res["EBLL"]["seq_res"]) == 2
+
+
+def test_pathnet_sequence(fresh_config):
+    from clsurvey_tpu.framework.common import RunArgs
+    from clsurvey_tpu.framework.main import main as run_main
+    from clsurvey_tpu.utils import io, paths as paths_lib
+
+    manager = run_main(RunArgs(
+        method_name="pathnet", test=True,
+        hyperparams="2",            # N = 2 modules per layer
+        static_hyperparams="4;2",   # M = 4, generations = 2
+        **COMMON))
+    best = io.load(manager.previous_task_model_path)
+    assert best["meta"].get("pathnet")
+    bps = best["method_aux"]["best_paths"]
+    assert len(bps) == 2  # one best path per task
+    # N may have grown via the increment decay operator during attempts
+    assert np.asarray(bps[0]).shape[-1] >= 2
+    out_dir = paths_lib.get_test_results_path(
+        COMMON["ds_name"], "pathnet", COMMON["model_name"], "testgrid",
+        manager.exp_name, create=False)
+    res = io.load(os.path.join(out_dir,
+                               "test_method_performancespathnet1.pth"))
+    assert len(res["pathnet"]["seq_res"]) == 2
+    assert res["pathnet"]["seq_res"][0] > 40.0  # must beat chance (25%)
+    # task-1 path modules are frozen -> zero forgetting
+    assert abs(res["pathnet"]["seq_forgetting"][1]) < 1e-6
+
+
+def test_pathnet_decay_operator():
+    from clsurvey_tpu.methods.pathnet import PathNet
+
+    m = PathNet()
+    assert m.decay_operator(3, 0.5) == 4  # increments, never multiplies

@@ -1,0 +1,145 @@
+"""PackNet + HAT tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clsurvey_tpu.ops import masks as masks_lib
+
+
+def _fake_params(key):
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv_0": {"kernel": jax.random.normal(k1, (3, 3, 3, 8)),
+                   "bias": jnp.zeros(8)},
+        "fc_0": {"kernel": jax.random.normal(k2, (32, 16)),
+                 "bias": jnp.zeros(16)},
+    }
+
+
+def test_packnet_mask_lifecycle():
+    params = _fake_params(jax.random.PRNGKey(0))
+    masks = masks_lib.init_masks(params, owner=0)
+    # biases get the 0-d sentinel
+    assert masks["conv_0"]["bias"].ndim == 0
+    masks = masks_lib.claim_free(masks, 1)
+    assert np.all(np.asarray(masks["conv_0"]["kernel"]) == 1)
+
+    # prune 50% of task-1 weights
+    new_params, new_masks = masks_lib.prune_masks(params, masks, 1, 0.5)
+    km = np.asarray(new_masks["conv_0"]["kernel"])
+    kw = np.asarray(new_params["conv_0"]["kernel"])
+    frac_pruned = (km == 0).mean()
+    assert abs(frac_pruned - 0.5) < 0.02
+    assert np.all(kw[km == 0] == 0.0)
+    # pruned weights were the smallest |w|
+    assert np.abs(kw[km == 1]).min() >= 0 and \
+        np.abs(np.asarray(params["conv_0"]["kernel"]))[km == 0].max() <= \
+        np.abs(np.asarray(params["conv_0"]["kernel"]))[km == 1].min() + 1e-6
+
+    # task 2 claims the freed weights
+    masks2 = masks_lib.claim_free(new_masks, 2)
+    km2 = np.asarray(masks2["conv_0"]["kernel"])
+    assert set(np.unique(km2)) == {1, 2}
+
+    # grads: task 2 training must not touch task-1 weights or biases
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    masked = masks_lib.mask_grads(grads, masks2, 2)
+    gm = np.asarray(masked["conv_0"]["kernel"])
+    assert np.all(gm[km2 == 1] == 0) and np.all(gm[km2 == 2] == 1)
+    assert np.all(np.asarray(masked["conv_0"]["bias"]) == 0)
+
+    # eval mask for task 1: only task-1 weights survive
+    eval_params = masks_lib.apply_eval_mask(new_params, masks2, 1)
+    ew = np.asarray(eval_params["conv_0"]["kernel"])
+    assert np.all(ew[km2 == 2] == 0)
+    np.testing.assert_array_equal(ew[km2 == 1], kw[km2 == 1])
+
+
+COMMON = dict(
+    model_name="tiny_CNN_cl_32_32",
+    ds_name="synthetic_2t_4c_32px",
+    num_epochs=4, batch_size=32, lr_grid=(1e-2,),
+    gridsearch_name="testgrid", max_attempts_per_task=2,
+)
+
+
+def test_packnet_sequence(fresh_config):
+    from clsurvey_tpu.framework.common import RunArgs
+    from clsurvey_tpu.framework.main import main as run_main
+    from clsurvey_tpu.utils import io, paths as paths_lib
+
+    manager = run_main(RunArgs(method_name="packnet", test=True,
+                               hyperparams="0.5", **COMMON))
+    best = io.load(manager.previous_task_model_path)
+    assert "method_aux" in best and "masks" in best["method_aux"]
+    report = masks_lib.capacity_report(
+        jax.tree_util.tree_map(jnp.asarray, best["method_aux"]["masks"]), 2)
+    assert report[1] > 0 and report[2] > 0  # both tasks own weights
+    out_dir = paths_lib.get_test_results_path(
+        COMMON["ds_name"], "packnet", COMMON["model_name"], "testgrid",
+        manager.exp_name, create=False)
+    res = io.load(os.path.join(out_dir,
+                               "test_method_performancespacknet1.pth"))
+    assert len(res["packnet"]["seq_res"]) == 2
+    # PackNet guarantees ZERO forgetting: task-1 subnetwork is frozen
+    f = res["packnet"]["seq_forgetting"][1]
+    assert abs(f) < 1e-6, f
+
+
+def test_hat_sequence(fresh_config):
+    from clsurvey_tpu.framework.common import RunArgs
+    from clsurvey_tpu.framework.main import main as run_main
+    from clsurvey_tpu.utils import io, paths as paths_lib
+
+    kwargs = dict(COMMON)
+    # HAT's task-0 warmup runs 10 epochs; give it room to converge
+    kwargs["num_epochs"] = 14
+    kwargs["max_attempts_per_task"] = 1
+    manager = run_main(RunArgs(method_name="HAT", test=True,
+                               hyperparams="100,0.5", **kwargs))
+    best = io.load(manager.previous_task_model_path)
+    assert best["meta"].get("hat")
+    # embeddings exist and are clamped
+    for name, leaf in best["params"].items():
+        if name.startswith("emb_"):
+            assert np.abs(np.asarray(leaf)).max() <= 6.0 + 1e-5
+    out_dir = paths_lib.get_test_results_path(
+        COMMON["ds_name"], "HAT", COMMON["model_name"], "testgrid",
+        manager.exp_name, create=False)
+    res = io.load(os.path.join(out_dir, "test_method_performancesHAT1.pth"))
+    assert len(res["HAT"]["seq_res"]) == 2
+    assert res["HAT"]["seq_res"][0] > 60.0  # HAT must actually learn
+
+
+def test_hat_mask_back_blocks_prev_capacity():
+    """Weights gated ON by task 0 (a^{<1}=1) must receive zero gradient
+    when training task 1."""
+    from clsurvey_tpu.methods.hat import (
+        compute_mask_back, compute_mask_pre, make_hat_model)
+    from clsurvey_tpu.models.registry import parse_model_name
+
+    spec = parse_model_name("/tmp/m", "tiny_CNN_cl_16_16", (16, 16))
+    model = make_hat_model(spec, n_tasks=2)
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key}, jnp.zeros((1, 16, 16, 3)), 0,
+                           jnp.float32(1.0))
+    params = variables["params"]
+    # make task-0 embeddings strongly positive -> gates ~1 at smax
+    params = dict(params)
+    for name in list(params):
+        if name.startswith("emb_"):
+            params[name] = params[name].at[0].set(6.0)
+    mask_pre = compute_mask_pre(model, params, task=1, smax=100.0)
+    for mp in mask_pre:
+        assert float(jnp.min(mp)) > 0.99
+    mask_back = compute_mask_back(model, params, mask_pre, (16, 16))
+    # all conv/fc weights blocked (mask_back ~ 0), embeddings open (1)
+    for name, leaf in mask_back.items():
+        if name.startswith("emb_"):
+            assert float(jnp.min(leaf)) == 1.0
+        else:
+            assert float(jnp.max(leaf["kernel"])) < 0.01
