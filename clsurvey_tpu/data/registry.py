@@ -88,7 +88,8 @@ def register_dataset(name: str, factory: Callable[..., TaskSequence]) -> None:
 def parse(ds_name: str, **kwargs) -> TaskSequence:
     """String -> dataset object (ref:src/data/dataset.py:13-40)."""
     # late imports register the built-ins
-    from clsurvey_tpu.data import synthetic, tinyimagenet  # noqa: F401
+    from clsurvey_tpu.data import (  # noqa: F401
+        inaturalist, recogseq, synthetic, tinyimagenet)
 
     for key, factory in _REGISTRY.items():
         if ds_name == key or ds_name.startswith(key):

@@ -48,12 +48,24 @@ class RunArgs:
     debug: bool = False
 
     def apply_runmode(self):
-        """debug runmode collapses the protocol
-        (ref:src/framework/main.py:269-277)."""
+        """debug collapses the protocol (ref:src/framework/main.py:269-277);
+        timing_mode fixes the measurement protocol: 4 tasks, single
+        lr=5e-3, bs=200, 10 epochs, no model saves
+        (ref:src/framework/main.py:289-300)."""
         if self.runmode == "debug" or self.debug:
             self.num_epochs = 2
             self.lr_grid = (self.lr_grid[0],)
             self.finetune_iterations = 1
+        elif self.runmode == "timing_mode":
+            self.max_task_count = 4
+            self.lr_grid = (5e-3,)
+            self.boot_lr_grid = (5e-3,)
+            self.batch_size = 200
+            self.num_epochs = 10
+            self.finetune_iterations = 1
+            # minimal IO: best models still written (tasks chain through
+            # disk) but epoch checkpoints are disabled
+            self.saving_freq = 10 ** 9
 
 
 @dataclass

@@ -27,16 +27,21 @@ from clsurvey_tpu.utils import io, paths as paths_lib
 def default_inference_eval(manager, model, ref_task: int) -> float:
     """Load a trained model dict and evaluate ref_task's test split with
     ref_task's head (ref:src/framework/inference.py:8-87 +
-    ref:src/methods/method.py:1066-1087)."""
+    ref:src/methods/method.py:1066-1087). Engines are cached per ref task
+    so the (task x model) matrix compiles each eval shape once."""
     task_data = manager.dataset.get_task_dataset(ref_task)
     counts = np.asarray(model["heads"]["class_counts"])
-    ctx = make_context(
-        spec=manager.model_spec, task=ref_task - 1,
-        n_tasks=max(ref_task, int(model["meta"].get("n_tasks", ref_task))),
-        class_counts=counts,
-        mean=manager.dataset.mean, std=manager.dataset.std,
-        update_rule=UpdateRule(), augment=False)
-    engine = Engine(ctx)
+    n_tasks = max(ref_task, int(model["meta"].get("n_tasks", ref_task)))
+    cache_key = ("eval_engine", ref_task, n_tasks)
+    engine = manager.extras.get(cache_key)
+    if engine is None:
+        ctx = make_context(
+            spec=manager.model_spec, task=ref_task - 1, n_tasks=n_tasks,
+            class_counts=counts,
+            mean=manager.dataset.mean, std=manager.dataset.std,
+            update_rule=UpdateRule(), augment=False)
+        engine = Engine(ctx)
+        manager.extras[cache_key] = engine
     trainable = {"params": model["params"],
                  "heads": {"kernel": model["heads"]["kernel"],
                            "bias": model["heads"]["bias"]}}

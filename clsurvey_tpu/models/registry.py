@@ -141,6 +141,9 @@ def init_model_state(spec: ModelSpec, key, max_tasks: int,
                       dtype=jnp.float32)
     variables = backbone.init({"params": pkey, "dropout": dkey}, dummy,
                               train=False)
+    if spec.pretrained:
+        variables = dict(variables)
+        variables["params"] = load_pretrained(spec, variables["params"])
     head_bank = heads_lib.init_head_bank(
         hkey, max_tasks, spec.feature_dim, classes_per_task, class_counts)
     return {
@@ -167,6 +170,33 @@ def create_init_model(spec: ModelSpec, key, max_tasks: int,
     io.save(state, spec.path)
     print(f"CREATED INIT MODEL {spec.name} -> {spec.path}")
     return spec.path
+
+
+def load_pretrained(spec: ModelSpec, params: Any) -> Any:
+    """Inject pretrained backbone weights (ref AlexNet uses torchvision's
+    ImageNet weights, ref:src/models/net.py:96-125). This environment has no
+    egress, so weights are read from ``<models_root>/<arch>_imagenet.npz``
+    (a flat ``{'/'.join(path): array}`` dump) when present; otherwise the
+    scratch init is kept with a warning."""
+    import numpy as np
+
+    path = os.path.join(spec.models_root_path,
+                        f"{spec.arch}_imagenet.npz")
+    if not os.path.isfile(path):
+        print(f"[WARN] pretrained weights not found at {path}; "
+              f"using scratch init for {spec.name}")
+        return params
+    flat_npz = dict(np.load(path))
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for key_path, leaf in flat:
+        name = "/".join(getattr(k, "key", str(k)) for k in key_path)
+        if name in flat_npz and flat_npz[name].shape == leaf.shape:
+            out.append(jnp.asarray(flat_npz[name], leaf.dtype))
+        else:
+            print(f"[WARN] pretrained leaf missing/mismatched: {name}")
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def count_parameters(state: dict) -> int:
