@@ -62,7 +62,9 @@ def main():
                                   batch_size)
     jax.block_until_ready(m)
 
-    # steady state: several epochs
+    # steady state: several epochs; float() each epoch forces a full
+    # device sync (block_until_ready alone under-measures on the tunneled
+    # backend — async dispatch reports impossible throughputs)
     n_epochs = 10
     start = time.perf_counter()
     for e in range(n_epochs):
@@ -70,7 +72,7 @@ def main():
         perm = jax.random.permutation(ekey, n_train)
         state, m = engine.train_epoch(state, images, labels, perm, ekey,
                                       5e-3, batch_size)
-    jax.block_until_ready(m)
+        _ = float(m["loss"])
     elapsed = time.perf_counter() - start
     steps = (n_train // batch_size) * n_epochs
     imgs_per_sec = steps * batch_size / elapsed

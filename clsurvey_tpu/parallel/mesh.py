@@ -70,8 +70,14 @@ def shard_batch(batch, mesh: Mesh | None = None):
 
 
 def constrain_batch(x, mesh: Mesh | None = None):
-    """In-jit sharding constraint: leading dim over data axis."""
+    """In-jit sharding constraint: leading dim over data axis.
+
+    Skipped on 1-device meshes: the constraint is a no-op semantically but
+    measured ~11x slower per step on the tunneled TPU backend (it blocks
+    XLA fusion across the annotation)."""
     mesh = mesh or get_mesh()
+    if mesh.devices.size == 1:
+        return x
     spec = P(mesh.axis_names[0], *([None] * (x.ndim - 1)))
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
