@@ -46,6 +46,9 @@ class RunArgs:
     # storage policy for the LR grid (ref:src/framework/lr_grid_train.py)
     grid_storage_policy: str = "only_keep_best"
     debug: bool = False
+    # capture a jax.profiler trace of the first task's training (the TPU
+    # analog of the reference's timing telemetry, SURVEY §5)
+    profile: bool = False
 
     def apply_runmode(self):
         """debug collapses the protocol (ref:src/framework/main.py:269-277);

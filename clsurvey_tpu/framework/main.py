@@ -102,10 +102,18 @@ def main(args: RunArgs):
 
     timer = timing.PhaseTimer()
     ds_paths, model_paths = [], []
+    profiling = False
     for task_counter in range(args.starting_task_count,
                               args.max_task_count + 1):
         print("\n" + "*" * 70 + f"\nTRAINING Task {task_counter}\n" + "*" * 70)
         manager.set_dataset(task_counter)
+        if args.profile and task_counter == args.starting_task_count:
+            trace_dir = os.path.join(cfg.tr_results_root_path, "profile",
+                                     f"{args.ds_name}_{args.method_name}")
+            os.makedirs(trace_dir, exist_ok=True)
+            jax.profiler.start_trace(trace_dir)
+            profiling = True
+            print(f"[profiler] tracing first task -> {trace_dir}")
         try:
             with timer.phase(f"task_{task_counter}"):
                 if method.no_framework:
@@ -119,6 +127,10 @@ def main(args: RunArgs):
             print("ERROR:", e)
             traceback.print_exc()
             break
+        finally:
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
     timer.print_timing()
     timing.print_stats()
 
@@ -155,6 +167,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--hyperparams", default=None)
     p.add_argument("--static_hyperparams", default=None)
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--profile", action="store_true")
     return p
 
 

@@ -351,7 +351,8 @@ def hat_train_task(engine: HATEngine, exp_dir: str, trainable, task_data,
                    warmup_lr: float = 0.01, warmup_epochs: int = 10,
                    min_epochs: int = 0, save_models: bool = True,
                    log=print):
-    """The reference Appr.train controller (ref:hat.py:96-199)."""
+    """The reference Appr.train controller (ref:hat.py:96-199), including
+    epoch-checkpoint resume (ref:hat.py:100-121)."""
     os.makedirs(exp_dir, exist_ok=True)
     train_images = jnp.asarray(task_data.train.images)
     train_labels = jnp.asarray(task_data.train.labels)
@@ -366,8 +367,23 @@ def hat_train_task(engine: HATEngine, exp_dir: str, trainable, task_data,
     cur_lr = warmup_lr if warmup else lr
     best_acc, best_model = 0.0, None
     in_warmup = warmup
+    start_epoch = 0
+    ckpt_path = os.path.join(exp_dir, EPOCH_CKPT_FILENAME)
+    if save_models and io.exists(ckpt_path):
+        ck = io.load(ckpt_path)
+        if (abs(ck.get("smax", engine.smax) - engine.smax) < 1e-6
+                and abs(ck.get("lamb", lamb) - lamb) < 1e-6):
+            state = (jax.tree_util.tree_map(jnp.asarray, ck["trainable"]),
+                     jax.tree_util.tree_map(jnp.asarray, ck["momentum"]))
+            start_epoch = ck["epoch"] + 1
+            cur_lr, patience = ck["lr"], ck["patience"]
+            best_acc, in_warmup = ck["best_acc"], ck["warmup"]
+            best_path = os.path.join(exp_dir, BEST_MODEL_FILENAME)
+            if io.exists(best_path):
+                best_model = io.load(best_path)
+            log(f"HAT resumed epoch {start_epoch} lr={cur_lr:g}")
     root = jax.random.PRNGKey(seed)
-    for e in range(nepochs):
+    for e in range(start_epoch, nepochs):
         cur_lamb = 0.0 if in_warmup else lamb
         ekey = jax.random.fold_in(root, e)
         pkey, skey = jax.random.split(ekey)
@@ -399,6 +415,12 @@ def hat_train_task(engine: HATEngine, exp_dir: str, trainable, task_data,
             in_warmup = False
             patience = lr_patience
             cur_lr = lr
+        if save_models and (e % 5 == 0 or e == nepochs - 1):
+            io.save({"epoch": e, "lr": cur_lr, "patience": patience,
+                     "best_acc": best_acc, "warmup": in_warmup,
+                     "smax": engine.smax, "lamb": lamb,
+                     "trainable": io.to_host(state[0]),
+                     "momentum": io.to_host(state[1])}, ckpt_path)
     if best_model is None:
         best_model = io.to_host(state[0])
     return best_model, best_acc

@@ -17,6 +17,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from clsurvey_tpu.models import heads as heads_lib
 from clsurvey_tpu.models.backbones import AlexNetBackbone, VGGBackbone, VGG_CFG
@@ -206,3 +207,26 @@ def count_parameters(state: dict) -> int:
          "heads": {"kernel": state["heads"]["kernel"],
                    "bias": state["heads"]["bias"]}})
     return sum(x.size for x in leaves)
+
+
+def print_module_composition(state: dict) -> str:
+    """Per-module parameter breakdown
+    (ref:src/models/net.py:302-354 ``print_module_composition``)."""
+    lines = []
+    flat = jax.tree_util.tree_flatten_with_path(state["params"])[0]
+    total = 0
+    for key_path, leaf in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in key_path)
+        lines.append(f"{name:50s} {str(leaf.shape):>20s} {leaf.size:>12d}")
+        total += leaf.size
+    heads = state["heads"]
+    for hname in ("kernel", "bias"):
+        leaf = heads[hname]
+        lines.append(f"{'heads/' + hname:50s} "
+                     f"{str(np.asarray(leaf).shape):>20s} "
+                     f"{np.asarray(leaf).size:>12d}")
+        total += np.asarray(leaf).size
+    lines.append(f"{'TOTAL':50s} {'':>20s} {total:>12d}")
+    report = "\n".join(lines)
+    print(report)
+    return report

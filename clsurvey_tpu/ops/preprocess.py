@@ -47,34 +47,48 @@ def preprocess(rng: jax.Array, images_u8: jnp.ndarray, mean, std,
 
 
 # ---------------------------------------------------------------------------
-# Pallas fused kernel: uint8 -> normalized dtype (+ optional flip), one pass.
+# Pallas fused kernel: uint8 -> normalized dtype in one VMEM pass.
+# (Horizontal flip stays an XLA `rev` outside the kernel — Mosaic has no
+# reverse primitive; XLA fuses the flip with the surrounding ops anyway.)
 # ---------------------------------------------------------------------------
 
-def _norm_flip_kernel(img_ref, flip_ref, scale_ref, shift_ref, out_ref):
-    x = img_ref[...].astype(jnp.float32)
-    # flip the W axis where the per-sample flag is set
-    flipped = x[:, :, ::-1, :]
-    flag = flip_ref[...].astype(jnp.bool_).reshape(-1, 1, 1, 1)
-    x = jnp.where(flag, flipped, x)
+def _norm_kernel(img_ref, scale_ref, shift_ref, out_ref):
+    # Mosaic has no direct u8->f32 cast; hop through int32
+    x = img_ref[...].astype(jnp.int32).astype(jnp.float32)
     out_ref[...] = (x * scale_ref[...] - shift_ref[...]).astype(
         out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("dtype",))
-def preprocess_pallas(images_u8: jnp.ndarray, flip_flags: jnp.ndarray,
-                      scale: jnp.ndarray, shift: jnp.ndarray,
-                      dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Fused u8->dtype normalize+flip. ``scale``/``shift`` are (3,) f32."""
-    batch = images_u8.shape[0]
+def normalize_pallas(images_u8: jnp.ndarray, scale: jnp.ndarray,
+                     shift: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Fused u8->dtype normalization. ``scale``/``shift`` are (3,) f32
+    (precomputed 1/(255*std) and mean/std)."""
+    import jax as _jax
+
     return pl.pallas_call(
-        _norm_flip_kernel,
+        _norm_kernel,
+        interpret=_jax.default_backend() == "cpu",
         out_shape=jax.ShapeDtypeStruct(images_u8.shape, dtype),
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(images_u8.shape, lambda i: (0, 0, 0, 0)),
-            pl.BlockSpec((batch,), lambda i: (0,)),
+            pl.BlockSpec(images_u8.shape,
+                         lambda i: (0,) * images_u8.ndim),
             pl.BlockSpec((3,), lambda i: (0,)),
             pl.BlockSpec((3,), lambda i: (0,)),
         ],
-        out_specs=pl.BlockSpec(images_u8.shape, lambda i: (0, 0, 0, 0)),
-    )(images_u8, flip_flags, scale, shift)
+        out_specs=pl.BlockSpec(images_u8.shape,
+                               lambda i: (0,) * images_u8.ndim),
+    )(images_u8, scale, shift)
+
+
+def preprocess_pallas(rng: jax.Array, images_u8: jnp.ndarray, mean, std,
+                      augment: bool, dtype=jnp.float32) -> jnp.ndarray:
+    """Drop-in variant of ``preprocess`` with the normalization in Pallas."""
+    scale = (1.0 / (255.0 * jnp.asarray(std, jnp.float32)))
+    shift = (jnp.asarray(mean, jnp.float32)
+             / jnp.asarray(std, jnp.float32))
+    x = normalize_pallas(images_u8, scale, shift, dtype=dtype)
+    if augment:
+        x = random_flip(rng, x)
+    return x

@@ -45,6 +45,17 @@ def test_vgg_shapes(tmp_path):
     assert feats.shape == (2, 128)
 
 
+def test_param_report(spec):
+    from clsurvey_tpu.models.registry import (
+        count_parameters, print_module_composition)
+
+    state = init_model_state(spec, jax.random.PRNGKey(1), max_tasks=2,
+                             classes_per_task=4)
+    report = print_module_composition(state)
+    assert "TOTAL" in report
+    assert count_parameters(state) > 0
+
+
 def test_synthetic_dataset():
     seq = parse_ds("synthetic_3t_4c_32px")
     assert seq.task_count == 3
