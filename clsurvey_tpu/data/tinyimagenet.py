@@ -55,9 +55,15 @@ def _read_class_order(raw_root: str, order_file: str | None) -> list[str]:
 
 
 def prepare(raw_root: str, out_root: str, task_count: int = 10,
-            order_file: str | None = None, seed: int = 7) -> str:
-    """Serialize per-task npz bundles from an unpacked tiny-imagenet-200 dir."""
-    out_dir = os.path.join(out_root, f"tiny_{task_count}tasks")
+            order_file: str | None = None, seed: int = 7,
+            variant: str = "") -> str:
+    """Serialize per-task npz bundles from an unpacked tiny-imagenet-200
+    dir. ``variant`` names an alternative class ordering (the reference's
+    hard<->easy orderings via symlinked task dirs,
+    ref:src/data/dataset.py:314-375) — pass e.g. variant='hardeasy' with
+    the matching ``order_file``."""
+    suffix = f"_{variant}" if variant else ""
+    out_dir = os.path.join(out_root, f"tiny_{task_count}tasks{suffix}")
     token = os.path.join(out_dir, PREP_TOKEN)
     if os.path.isfile(token):
         return out_dir
@@ -121,16 +127,21 @@ class TinyImagenetSequence(TaskSequence):
     def __init__(self, ds_name: str = "tiny", task_count: int | None = None,
                  ds_root: str | None = None, **_):
         self.name = ds_name
+        # names: tiny / tiny40 / tiny_hardeasy / tiny10_easyhard ...
+        segs = ds_name.split("_")
+        variant = "_".join(segs[1:]) if len(segs) > 1 else ""
         if task_count is None:
-            digits = "".join(ch for ch in ds_name if ch.isdigit())
+            digits = "".join(ch for ch in segs[0] if ch.isdigit())
             task_count = int(digits) if digits else 10
         self.task_count = task_count
         self.input_size = (IMG_SIZE, IMG_SIZE)
         per_task = N_CLASSES // task_count
         self.classes_per_task = {
             str(t): per_task for t in range(1, task_count + 1)}
+        suffix = f"_{variant}" if variant else ""
         self._root = os.path.join(
-            ds_root or load_config().ds_root_path, f"tiny_{task_count}tasks")
+            ds_root or load_config().ds_root_path,
+            f"tiny_{task_count}tasks{suffix}")
         self._cache: dict[int, TaskData] = {}
 
     def get_task_dataset(self, task: int) -> TaskData:

@@ -60,8 +60,12 @@ def default_inference_eval(manager, model, ref_task: int) -> float:
 def eval_task_steps_accuracy(args, manager, ref_task: int,
                              model_paths: list) -> dict:
     """Accuracy of every model >= ref_task on ref_task
-    (ref:src/framework/eval.py:204-247)."""
-    seq_res, seq_head_acc = [], []
+    (ref:src/framework/eval.py:204-247). Matching the reference's artifact
+    exactly: ``seq_forgetting`` has no self-comparison entry (len =
+    len(seq_res)-1) and ``seq_head_acc`` stays empty (head_accuracy is
+    never set in the reference either, eval.py:214,239-240)."""
+    seq_res: list = []
+    seq_head_acc: list = []
     for trained_idx in range(ref_task, len(model_paths) + 1):
         model_path = model_paths[trained_idx - 1]
         if hasattr(manager.method, "inference_eval"):
@@ -73,7 +77,6 @@ def eval_task_steps_accuracy(args, manager, ref_task: int,
                 else model_path, ref_task)
         print(f"  ref_task {ref_task} @ model {trained_idx}: acc={acc:.4f}")
         seq_res.append(acc * 100.0)  # reference stores percentages
-        seq_head_acc.append(acc * 100.0)
     return {"seq_res": seq_res, "seq_head_acc": seq_head_acc}
 
 
@@ -85,7 +88,8 @@ def eval_all_models_all_tasks(args, manager, model_paths: list,
             res = eval_task_steps_accuracy(args, manager, ref_task,
                                            model_paths)
             first = res["seq_res"][0]
-            res["seq_forgetting"] = [first - acc for acc in res["seq_res"]]
+            res["seq_forgetting"] = [first - acc
+                                     for acc in res["seq_res"][1:]]
             out = {manager.method.eval_name: res}
             io.save(out, os.path.join(
                 out_dir,
@@ -137,8 +141,8 @@ def eval_single_model_all_tasks(args, manager, model_path, out_dir: str
             jnp.asarray(td.test.labels + lo), args.batch_size,
             predict=predict,
             n_counter_classes=int(np.max(counts)))
-        res = {"seq_res": [acc * 100.0], "seq_forgetting": [0.0],
-               "seq_head_acc": [acc * 100.0]}
+        res = {"seq_res": [acc * 100.0], "seq_forgetting": [],
+               "seq_head_acc": []}
         io.save({manager.method.eval_name: res}, os.path.join(
             out_dir, f"test_method_performances"
             f"{manager.method.eval_name}{ref_task}.pth"))

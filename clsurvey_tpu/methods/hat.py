@@ -395,6 +395,9 @@ def hat_train_task(engine: HATEngine, exp_dir: str, trainable, task_data,
         val_acc = engine.evaluate(state[0], val_images, val_labels, bsz)
         log(f"HAT epoch {e}: loss={float(metrics['loss']):.4f} "
             f"val={val_acc:.4f} lr={cur_lr:g} lamb={cur_lamb}")
+        if np.isnan(float(metrics["loss"])):
+            log("NaN loss — aborting HAT training")  # NaN guard
+            break
         if val_acc > best_acc:
             best_acc = val_acc
             best_model = io.to_host(state[0])

@@ -71,6 +71,8 @@ class LWF(Method):
     category: Category = Category.DATA_BASED
     hyperparams: "OrderedDict[str, float]" = field(
         default_factory=lambda: OrderedDict({"lambda": 10}))
+    static_hyperparams: "OrderedDict[str, float]" = field(
+        default_factory=lambda: OrderedDict({"head_warmup_epochs": 0}))
 
     def make_update_rule(self) -> UpdateRule:
         return LwFRule()
@@ -80,6 +82,15 @@ class LWF(Method):
 
     def train(self, args, manager, hyperparams):
         prev_model = io.load(manager.previous_task_model_path)
+        # optional head-only warmup before the distillation training
+        # (ref:src/methods/LwF/main_LWF.py:322-362 fine_tune_freeze)
+        warmup = int(self.static_hyperparams.get("head_warmup_epochs", 0))
+        if warmup > 0:
+            warm_dir = manager.extras["heuristic_exp_dir"] + "_head_warmup"
+            prev_model, _, _, _ = common.run_training(
+                manager, UpdateRule(), lr=manager.extras["lr"],
+                hyperparams={}, exp_dir=warm_dir, start_model=prev_model,
+                seed=args.seed, num_epochs=warmup, freeze_backbone=True)
         rule = self.make_update_rule()
         proto = {"params": jax.tree_util.tree_map(jnp.asarray,
                                                   prev_model["params"]),
@@ -92,6 +103,7 @@ class LWF(Method):
             hyperparams=dict(hyperparams),
             exp_dir=manager.extras["heuristic_exp_dir"],
             start_model=prev_model, seed=args.seed, mstate=mstate,
-            engine=engine)
+            engine=engine,
+            reinit_head=(warmup == 0))  # keep the warmed-up head
         manager.extras[("lwf_engine", manager.task_counter)] = engine
         return best_model, best_acc

@@ -70,8 +70,12 @@ class ExperimentDataEntry:
 
     @property
     def avg_forgetting(self) -> float:
-        f = [self.seq_forgetting[t][-1] for t in sorted(self.seq_forgetting)
-             if len(self.seq_forgetting[t]) > 0]
+        """Mean over tasks of first-model-acc minus final-model-acc; tasks
+        with a single model (no later training) contribute 0
+        (ref:main_postprocessing.py:354-358; the reference's
+        seq_forgetting lists omit the self-comparison entry)."""
+        f = [(self.seq_forgetting[t][-1] if self.seq_forgetting[t] else 0.0)
+             for t in sorted(self.seq_forgetting)]
         return float(np.mean(f)) if f else float("nan")
 
 

@@ -75,7 +75,7 @@ def test_pathnet_sequence(fresh_config):
     assert len(res["pathnet"]["seq_res"]) == 2
     assert res["pathnet"]["seq_res"][0] > 40.0  # must beat chance (25%)
     # task-1 path modules are frozen -> zero forgetting
-    assert abs(res["pathnet"]["seq_forgetting"][1]) < 1e-6
+    assert abs(res["pathnet"]["seq_forgetting"][0]) < 1e-6
 
 
 def test_pathnet_decay_operator():

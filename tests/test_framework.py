@@ -49,7 +49,9 @@ def test_finetune_full_pipeline(fresh_config, ft_args):
     inner = res1["finetuning"]
     assert set(inner) == {"seq_res", "seq_forgetting", "seq_head_acc"}
     assert len(inner["seq_res"]) == 2  # ref task 1 evaluated on models 1,2
-    assert inner["seq_forgetting"][0] == 0.0
+    # reference shape: forgetting omits the self-comparison entry
+    assert len(inner["seq_forgetting"]) == 1
+    assert inner["seq_head_acc"] == []
     # first-task model should classify task 1 well (percentages)
     assert inner["seq_res"][0] > 60.0
     res2 = io.load(os.path.join(

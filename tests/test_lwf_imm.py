@@ -109,6 +109,9 @@ def test_imm_and_lwf_sequences(fresh_config):
     assert io.exists(merge_path)
 
     manager = run_main(RunArgs(method_name="LWF", test=True,
+                               # exercise the optional head-only warmup
+                               # (ref:main_LWF.py:322-362)
+                               static_hyperparams="2",
                                **common_kwargs))
     out_dir = paths_lib.get_test_results_path(
         "synthetic_2t_4c_32px", "LWF", "tiny_CNN_cl_32_32", "testgrid",
@@ -116,3 +119,4 @@ def test_imm_and_lwf_sequences(fresh_config):
     res = io.load(os.path.join(out_dir,
                                "test_method_performancesLWF1.pth"))
     assert len(res["LWF"]["seq_res"]) == 2
+    assert res["LWF"]["seq_res"][1] > 50.0  # still performs after task 2

@@ -86,7 +86,7 @@ def test_packnet_sequence(fresh_config):
                                "test_method_performancespacknet1.pth"))
     assert len(res["packnet"]["seq_res"]) == 2
     # PackNet guarantees ZERO forgetting: task-1 subnetwork is frozen
-    f = res["packnet"]["seq_forgetting"][1]
+    f = res["packnet"]["seq_forgetting"][0]
     assert abs(f) < 1e-6, f
 
 

@@ -19,8 +19,8 @@ def _write_results(root, method="EWC", tasks=3):
         seq = [80.0 - 5 * i for i in range(n_models)]
         io.save({method: {
             "seq_res": seq,
-            "seq_forgetting": [seq[0] - a for a in seq],
-            "seq_head_acc": seq,
+            "seq_forgetting": [seq[0] - a for a in seq[1:]],
+            "seq_head_acc": [],
         }}, os.path.join(exp_dir,
                          f"test_method_performances{method}{t}.pth"))
     return exp_dir
