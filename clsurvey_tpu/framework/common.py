@@ -49,6 +49,9 @@ class RunArgs:
     # capture a jax.profiler trace of the first task's training (the TPU
     # analog of the reference's timing telemetry, SURVEY §5)
     profile: bool = False
+    # remove the experiment tree before training (ref:src/framework/
+    # main.py:142-147 --cleanup_exp; refused when evaluating)
+    cleanup_exp: bool = False
 
     def apply_runmode(self):
         """debug collapses the protocol (ref:src/framework/main.py:269-277);

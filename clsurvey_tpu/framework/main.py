@@ -81,6 +81,16 @@ def main(args: RunArgs):
         exp_name=args.exp_name or paths_lib.get_exp_name(method.hyperparams),
     )
 
+    if args.cleanup_exp:
+        assert not args.test, "Can't remove experiment results while " \
+            "evaluating (ref:src/framework/main.py:143)"
+        import shutil
+
+        parent = os.path.dirname(manager.task_dir(1))
+        if os.path.isdir(parent):
+            shutil.rmtree(parent)
+            print("=====> CLEANING UP EXP: starting from scratch <=====")
+
     if args.runmode == "first_task_basemodel_dump":
         overwrite_dump_args(args, manager)
         manager.gridsearch_name = args.gridsearch_name
@@ -168,6 +178,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--static_hyperparams", default=None)
     p.add_argument("--debug", action="store_true")
     p.add_argument("--profile", action="store_true")
+    p.add_argument("--cleanup_exp", action="store_true")
     return p
 
 
