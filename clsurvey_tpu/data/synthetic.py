@@ -22,25 +22,41 @@ def _class_image(rng: np.random.Generator, proto: np.ndarray,
 
 
 class SyntheticSequence(TaskSequence):
-    """``synthetic[_<tasks>t_<classes>c_<size>px]``, e.g. synthetic_3t_5c_32px."""
+    """``synthetic[_<tasks>t_<classes>c_<size>px]``, e.g. synthetic_3t_5c_32px.
+
+    ``<classes>`` may be a dash-separated list for unequal per-task class
+    counts (the RecogSeq regime of padded+masked heads), e.g.
+    ``synthetic_3t_5-3-4c_32px``."""
 
     def __init__(self, ds_name: str = "synthetic", task_count: int = 3,
                  classes_per_task_n: int = 5, input_px: int = 32,
                  n_train: int = 64, n_val: int = 32, n_test: int = 32,
                  noise: float = 0.08, seed: int = 7, **_):
+        counts_list = None
         # parse inline options from the name
         for seg in ds_name.split("_")[1:]:
             if seg.endswith("t"):
                 task_count = int(seg[:-1])
             elif seg.endswith("c"):
-                classes_per_task_n = int(seg[:-1])
+                body = seg[:-1]
+                if "-" in body:
+                    counts_list = [int(x) for x in body.split("-")]
+                else:
+                    classes_per_task_n = int(body)
             elif seg.endswith("px"):
                 input_px = int(seg[:-2])
         self.name = ds_name
+        if counts_list is not None:
+            task_count = len(counts_list)
         self.task_count = task_count
         self.input_size = (input_px, input_px)
-        self.classes_per_task = {
-            str(t): classes_per_task_n for t in range(1, task_count + 1)}
+        if counts_list is not None:
+            self.classes_per_task = {
+                str(t): counts_list[t - 1]
+                for t in range(1, task_count + 1)}
+        else:
+            self.classes_per_task = {
+                str(t): classes_per_task_n for t in range(1, task_count + 1)}
         self._n = (n_train, n_val, n_test)
         self._noise = noise
         self._seed = seed

@@ -58,9 +58,26 @@ def overwrite_dump_args(args: RunArgs, manager: Manager) -> None:
     manager.method.start_scratch = True
 
 
+def _enable_compilation_cache(cfg) -> None:
+    """Persistent XLA compilation cache: the framework re-enters identical
+    step shapes constantly (grid points, decay attempts, reruns) — caching
+    compiled executables across processes cuts minutes per run. Disable
+    with CLSURVEY_NO_COMPILE_CACHE=1."""
+    if os.environ.get("CLSURVEY_NO_COMPILE_CACHE"):
+        return
+    cache_dir = os.path.join(cfg.tr_results_root_path, "..", "jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # older jax without the knobs
+        print(f"[WARN] compilation cache unavailable: {e}")
+
+
 def main(args: RunArgs):
     rng_lib.set_random(args.seed)
     cfg = load_config()
+    _enable_compilation_cache(cfg)
     args.apply_runmode()
 
     method = methods_lib.parse(args.method_name)

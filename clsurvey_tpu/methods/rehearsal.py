@@ -83,8 +83,10 @@ def ring_buffer_update(mem: dict, task: int, x_u8, y) -> dict:
     pos = cnt + jnp.arange(bsz, dtype=jnp.int32)
     valid = pos < n_mem  # only the prefix that fits this cycle
     safe_pos = jnp.where(valid, pos, n_mem)  # OOB -> dropped
+    # raw images may arrive as bf16 (one-hot matmul gather) with exact
+    # uint8 values — cast back explicitly for the uint8 store
     images = mem["mem_images"].at[task, safe_pos].set(
-        x_u8, mode="drop")
+        x_u8.astype(jnp.uint8), mode="drop")
     labels = mem["mem_labels"].at[task, safe_pos].set(
         y.astype(jnp.int32), mode="drop")
     effbsz = jnp.minimum(cnt + bsz, n_mem) - cnt
@@ -680,13 +682,18 @@ class ICARL(Method):
 
     # ---- NCM inference (ref:icarl.py:130-186) ------------------------------
     def inference_eval(self, manager, model_path, ref_task, trained_idx):
-        from clsurvey_tpu.engine.train import Engine, make_context
+        """Nearest-class-mean over exemplar features, expressed as a linear
+        head:  argmin_c ||f - mu_c||  ==  argmax_c (2 f.mu_c - ||mu_c||^2),
+        so the NCM classifier is a synthesized (kernel=2mu, bias=-|mu|^2)
+        task head — the standard cached eval path handles it (no per-model
+        jit closures)."""
+        from clsurvey_tpu.framework.evaluate import default_inference_eval
+        from clsurvey_tpu.engine.train import make_context
 
         model = io.load(model_path) if isinstance(model_path, str) \
             else model_path
         aux = model.get("method_aux") or {}
         ex = aux.get("exemplars")
-        td = manager.dataset.get_task_dataset(ref_task)
         counts = manager.dataset.class_count_list()
         kernel_c = int(np.asarray(model["heads"]["kernel"]).shape[-1])
         ctx = make_context(
@@ -694,7 +701,6 @@ class ICARL(Method):
             class_counts=np.asarray(model["heads"]["class_counts"]),
             mean=manager.dataset.mean, std=manager.dataset.std,
             update_rule=UpdateRule(), augment=False)
-        engine = Engine(ctx)
         params = jax.tree_util.tree_map(jnp.asarray, model["params"])
         batch_stats = jax.tree_util.tree_map(
             jnp.asarray, model.get("batch_stats", {}))
@@ -706,31 +712,24 @@ class ICARL(Method):
         imgs = np.asarray(ex["images"])[:int(ex["count"])]
         feat_fn = jax.jit(lambda x: ctx.forward_feats(
             params, batch_stats, x, False, jax.random.PRNGKey(0))[0])
-        means = []
+        feat_dim = int(np.asarray(model["heads"]["kernel"]).shape[1])
+        means = np.zeros((kernel_c, feat_dim), np.float32)
+        present = np.zeros((kernel_c,), bool)
         for local_c in range(n_cls):
             sel = np.where(labels == offset + local_c)[0]
             if len(sel) == 0:
-                means.append(np.full((1,), np.inf))
                 continue
             x = pp.normalize(jnp.asarray(imgs[sel]), ctx.mean, ctx.std)
-            means.append(np.asarray(feat_fn(x)).mean(0))
-        d = max(m.shape[-1] for m in means if m.ndim > 0)
-        means = np.stack([m if m.shape[-1] == d
-                          else np.full(d, np.inf) for m in means])
-        means_j = jnp.asarray(means)
+            means[local_c] = np.asarray(feat_fn(x)).mean(0)
+            present[local_c] = True
 
-        def predict(ctx_, tr, feats):
-            # nearest class mean -> one-hot style logits
-            dist = jnp.linalg.norm(
-                feats[:, None, :] - means_j[None, :, :], axis=-1)
-            return -dist  # argmax(-dist) == nearest
-
-        trainable = jax.tree_util.tree_map(jnp.asarray, {
-            "params": model["params"],
-            "heads": {"kernel": model["heads"]["kernel"],
-                      "bias": model["heads"]["bias"]}})
-        acc, _, _ = engine.evaluate(
-            trainable, batch_stats, jnp.asarray(td.test.images),
-            jnp.asarray(td.test.labels), manager.args.batch_size,
-            predict=predict, n_counter_classes=n_cls)
-        return acc
+        ncm_model = dict(model)
+        kern = np.array(model["heads"]["kernel"], copy=True)
+        bias = np.array(model["heads"]["bias"], copy=True)
+        kern[ref_task - 1] = (2.0 * means).T
+        bias[ref_task - 1] = np.where(
+            present, -np.sum(means * means, axis=1), NEG_INF)
+        ncm_model["heads"] = dict(model["heads"])
+        ncm_model["heads"]["kernel"] = kern
+        ncm_model["heads"]["bias"] = bias
+        return default_inference_eval(manager, ncm_model, ref_task)

@@ -1,0 +1,43 @@
+"""Unequal per-task class counts (the RecogSeq regime): padded heads with
+logit masking through the full framework (SURVEY §7 hard-part 3)."""
+
+import os
+
+import numpy as np
+
+from clsurvey_tpu.framework.common import RunArgs
+from clsurvey_tpu.framework.main import main as run_main
+from clsurvey_tpu.utils import io, paths as paths_lib
+
+
+def test_unequal_counts_full_pipeline(fresh_config):
+    from clsurvey_tpu.data import parse as parse_ds
+
+    seq = parse_ds("synthetic_3t_5-3-4c_32px")
+    assert seq.task_count == 3
+    assert seq.class_count_list() == [5, 3, 4]
+    assert seq.max_classes_per_task == 5
+
+    manager = run_main(RunArgs(
+        model_name="tiny_CNN_cl_32_32", ds_name="synthetic_3t_5-3-4c_32px",
+        method_name="finetuning", num_epochs=6, batch_size=32,
+        lr_grid=(1e-2,), gridsearch_name="testgrid", test=True))
+    best = io.load(manager.previous_task_model_path)
+    # head bank width = max classes; counts preserved
+    assert np.asarray(best["heads"]["kernel"]).shape[-1] == 5
+    np.testing.assert_array_equal(
+        np.asarray(best["heads"]["class_counts"])[:3], [5, 3, 4])
+    out_dir = paths_lib.get_test_results_path(
+        "synthetic_3t_5-3-4c_32px", "finetuning", "tiny_CNN_cl_32_32",
+        "testgrid", manager.exp_name, create=False)
+    for t in (1, 2, 3):
+        res = io.load(os.path.join(
+            out_dir, f"test_method_performancesfinetuning{t}.pth"))
+        accs = res["finetuning"]["seq_res"]
+        assert len(accs) == 3 - t + 1
+        # task-2 has 3 classes: masked slots must never be predicted, so
+        # accuracy on its own model should clear chance comfortably
+        assert accs[-1] >= 0.0
+    res2 = io.load(os.path.join(
+        out_dir, "test_method_performancesfinetuning2.pth"))
+    assert res2["finetuning"]["seq_res"][0] > 60.0
