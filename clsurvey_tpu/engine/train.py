@@ -24,7 +24,7 @@ subclasses that inject each method's regularizer into ``optimizer.step``
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable
 
 import flax.struct

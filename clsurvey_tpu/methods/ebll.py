@@ -33,7 +33,7 @@ import optax
 
 from clsurvey_tpu.methods import common
 from clsurvey_tpu.methods.base import Category, Method
-from clsurvey_tpu.methods.lwf import LwFRule, LWF
+from clsurvey_tpu.methods.lwf import LwFRule
 from clsurvey_tpu.models import heads as heads_lib
 from clsurvey_tpu.models.backbones import VGGFeatures, VGG_CFG
 from clsurvey_tpu.ops import preprocess as pp

@@ -4,14 +4,12 @@
 from __future__ import annotations
 
 import os
-from collections import OrderedDict
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from clsurvey_tpu.data.registry import merge_tasks
 from clsurvey_tpu.framework import lr_grid
 from clsurvey_tpu.methods.base import Category, Method, UpdateRule
 from clsurvey_tpu.methods import common
-from clsurvey_tpu.utils.paths import BEST_MODEL_FILENAME
 
 
 def finetune_grid_train(args, manager, lr, update_rule: UpdateRule = None,

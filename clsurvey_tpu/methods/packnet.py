@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from clsurvey_tpu.framework import lr_grid
 from clsurvey_tpu.methods import common
 from clsurvey_tpu.methods.base import Category, Method, UpdateRule
 from clsurvey_tpu.ops import masks as masks_lib

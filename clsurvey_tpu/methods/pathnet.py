@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from clsurvey_tpu.methods import common
 from clsurvey_tpu.methods.base import Category, Method
 from clsurvey_tpu.models import heads as heads_lib
 from clsurvey_tpu.models.backbones import VGG_CFG, conv_init, dense_init

@@ -36,7 +36,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from clsurvey_tpu.framework import lr_grid
 from clsurvey_tpu.methods import common
 from clsurvey_tpu.methods.base import Category, Method, UpdateRule
 from clsurvey_tpu.methods.finetune import finetune_grid_train

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from clsurvey_tpu.models import heads as heads_lib
-from clsurvey_tpu.models.backbones import AlexNetBackbone, VGGBackbone, VGG_CFG
+from clsurvey_tpu.models.backbones import AlexNetBackbone, VGGBackbone
 from clsurvey_tpu.utils import io
 
 VGG_POOLING_LAYERS = 4  # all custom VGG configs have 4 stride-2 pools

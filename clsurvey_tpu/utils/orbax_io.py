@@ -12,8 +12,6 @@ from __future__ import annotations
 import os
 from typing import Any
 
-import jax
-
 from clsurvey_tpu.utils import io
 
 
