@@ -275,12 +275,19 @@ class Engine:
             n_counter_classes = (kernel_c * ctx.n_tasks
                                  if predict == "shared" else kernel_c)
 
+        # cache value pins the predict callable: without the strong
+        # reference, a freed closure's id() can be reused by a NEW closure
+        # and silently hit a stale compiled eval
         key = (predict if isinstance(predict, str) else id(predict),
                batch_size, images.shape, n_counter_classes)
-        eval_fn = self._eval_batch_cache.get(key)
-        if eval_fn is None:
-            eval_fn = jax.jit(self._make_eval(predict, n_counter_classes))
-            self._eval_batch_cache[key] = eval_fn
+        entry = self._eval_batch_cache.get(key)
+        stale = entry is not None and callable(predict) \
+            and entry[1] is not predict
+        if entry is None or stale:
+            entry = (jax.jit(self._make_eval(predict, n_counter_classes)),
+                     predict)
+            self._eval_batch_cache[key] = entry
+        eval_fn = entry[0]
         correct, total, per_class_c, per_class_t = eval_fn(
             trainable, batch_stats, images, y_all, idx, weights)
         acc = float(correct) / max(float(total), 1.0)
