@@ -178,6 +178,58 @@ class GEMRule(UpdateRule):
         grads, _ = jax.lax.scan(body, acc0, jnp.arange(nb))
         return grads
 
+    def _memory_grads_all(self, ctx, trainable, batch_stats, mstate, rng):
+        """All past tasks' memory gradients in ONE vmapped computation.
+
+        The reference replays each past task's buffer sequentially
+        (gem.py:233-256); vmapping over the task axis turns t-1 sequential
+        backward passes per step into a single batched launch — the same
+        math (each row is still the sum of per-batch-mean CE grads over
+        that task's buffer)."""
+        t = ctx.task
+        mem = mstate["memory"]
+        imgs = mem["mem_images"][:t]     # (t, M, H, W, C)
+        lbls = mem["mem_labels"][:t]     # (t, M)
+        counts = mem["mem_count"][:t]    # (t,)
+        tasks = jnp.arange(t)
+        M = imgs.shape[1]
+        mb = min(M, self.mem_batch)
+        nb = M // mb
+        import optax
+
+        def one_task(task_imgs, task_lbls, n_valid, task_idx):
+            def body(acc, i):
+                sl = jax.lax.dynamic_slice_in_dim(task_imgs, i * mb, mb)
+                yl = jax.lax.dynamic_slice_in_dim(task_lbls, i * mb, mb)
+                idxs = i * mb + jnp.arange(mb)
+                w = (idxs < n_valid).astype(jnp.float32)
+
+                def loss_fn(tr):
+                    rng_pre, rng_d = jax.random.split(rng)
+                    x = ctx.preprocess(rng_pre, sl)
+                    feats, _ = ctx.forward_feats(tr["params"], batch_stats,
+                                                 x, True, rng_d)
+                    # per-sample logits of THIS task's head (dynamic index)
+                    bank = ctx.bank(tr)
+                    kernel = bank["kernel"][task_idx]
+                    bias = bank["bias"][task_idx]
+                    logits = feats @ kernel + bias
+                    n_c = jnp.asarray(ctx.class_counts)[task_idx]
+                    mask = jnp.arange(logits.shape[-1]) < n_c
+                    logits = jnp.where(mask, logits, NEG_INF)
+                    ce = optax.softmax_cross_entropy_with_integer_labels(
+                        logits, yl)
+                    return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+                g = jax.grad(loss_fn)(trainable)
+                return jax.tree_util.tree_map(jnp.add, acc, g), None
+
+            acc0 = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+            grads, _ = jax.lax.scan(body, acc0, jnp.arange(nb))
+            return ravel_pytree(grads)[0]
+
+        return jax.vmap(one_task)(imgs, lbls, counts, tasks)  # (t, p)
+
     def compute_grads(self, ctx, trainable, batch_stats, batch, mstate,
                       rng, base_fn):
         loss, grads, new_bs, metrics = base_fn(trainable, batch_stats,
@@ -185,12 +237,7 @@ class GEMRule(UpdateRule):
         if ctx.task == 0:
             return loss, grads, new_bs, metrics
         flat_g, unravel = ravel_pytree(grads)
-        mem_rows = []
-        for tt in range(ctx.task):
-            g_tt = self._memory_grads(ctx, trainable, batch_stats, mstate,
-                                      tt, rng)
-            mem_rows.append(ravel_pytree(g_tt)[0])
-        G = jnp.stack(mem_rows)
+        G = self._memory_grads_all(ctx, trainable, batch_stats, mstate, rng)
         projected, violated = gem_project_if_violating(
             flat_g, G, mstate["hyper"]["margin"])
         grads = unravel(projected.astype(flat_g.dtype))
