@@ -127,3 +127,29 @@ def test_resume_from_epoch_ckpt(spec, tmp_path):
                     batch_size=32, lr=0.01, saving_freq=1)
     train_task(engine, job2, fresh_state(), td, log=logs.append)
     assert any("resumed epoch 3" in str(line) for line in logs), logs
+
+
+def test_all_vgg_variants_forward(tmp_path):
+    """Every reference VGG family member builds and produces the right
+    feature width (ref:src/models/VGGSlim.py:13-24 configs)."""
+    for name, dim, px in (("base_VGG9_cl_512_512", 512, 64),
+                          ("wide_VGG9_cl_512_512", 512, 64),
+                          ("deep_VGG22_cl_512_512", 512, 64)):
+        vgg = parse_model_name(str(tmp_path), name, (px, px))
+        state = init_model_state(vgg, jax.random.PRNGKey(0), max_tasks=2,
+                                 classes_per_task=5)
+        feats = vgg.make_backbone().apply(
+            {"params": state["params"]}, jnp.zeros((1, px, px, 3)),
+            train=False)
+        assert feats.shape == (1, dim), name
+
+
+def test_tiny40_name_parsing():
+    from clsurvey_tpu.data.tinyimagenet import TinyImagenetSequence
+
+    seq = TinyImagenetSequence("tiny40", ds_root="/tmp/nonexistent")
+    assert seq.task_count == 40
+    assert seq.classes_per_task["1"] == 5
+    seq2 = TinyImagenetSequence("tiny_hardeasy", ds_root="/tmp/nonexistent")
+    assert seq2.task_count == 10
+    assert seq2._root.endswith("tiny_10tasks_hardeasy")

@@ -120,3 +120,37 @@ def test_imm_and_lwf_sequences(fresh_config):
                                "test_method_performancesLWF1.pth"))
     assert len(res["LWF"]["seq_res"]) == 2
     assert res["LWF"]["seq_res"][1] > 50.0  # still performs after task 2
+
+
+def test_mode_imm_sequence(fresh_config):
+    """mode-IMM: per-task sampled-label Fisher precision matrices cached to
+    disk, precision-weighted merge used at eval."""
+    from clsurvey_tpu.framework.common import RunArgs
+    from clsurvey_tpu.framework.main import main as run_main
+    from clsurvey_tpu.utils import io, paths as paths_lib
+
+    common_kwargs = dict(
+        model_name="tiny_CNN_cl_32_32",
+        ds_name="synthetic_2t_4c_32px",
+        num_epochs=4, batch_size=32, lr_grid=(1e-2,),
+        gridsearch_name="testgrid", max_attempts_per_task=2,
+    )
+    run_main(RunArgs(method_name="SI",
+                     runmode="first_task_basemodel_dump", **common_kwargs))
+    manager = run_main(RunArgs(method_name="mode_IMM", test=True,
+                               **common_kwargs))
+    import os
+
+    task2_dir = os.path.dirname(manager.previous_task_model_path)
+    # precision matrices cached next to each model (ref:merge.py:57-120)
+    assert io.exists(os.path.join(task2_dir, "precision_mode_IMM.pth.tar"))
+    assert io.exists(os.path.join(task2_dir,
+                                  "best_model_mode_IMM_merge.pth.tar"))
+    out_dir = paths_lib.get_test_results_path(
+        "synthetic_2t_4c_32px", "mode_IMM", "tiny_CNN_cl_32_32",
+        "testgrid", manager.exp_name, create=False)
+    res = io.load(os.path.join(
+        out_dir, "test_method_performancesmode_IMM1.pth"))
+    assert len(res["mode_IMM"]["seq_res"]) == 2
+    # merged model should still classify task 1 reasonably
+    assert res["mode_IMM"]["seq_res"][0] > 40.0
