@@ -240,9 +240,24 @@ class Engine:
 
     # ---- public API --------------------------------------------------------
 
+    def _round_batch(self, batch_size: int, n: int) -> int:
+        """Clamp batch_size to the dataset and round it down to a multiple
+        of the mesh size so ``constrain_batch`` never sees non-divisible
+        shards (e.g. bs=30 on an 8-device mesh)."""
+        batch_size = min(int(batch_size), int(n))
+        nd = self.ctx.mesh.devices.size if self.ctx.mesh is not None else 1
+        if nd > 1 and batch_size % nd:
+            batch_size = max((batch_size // nd) * nd, nd)
+        return batch_size
+
     def train_epoch(self, state: TrainState, images, labels, perm, rng, lr,
                     batch_size: int):
-        batch_size = min(int(batch_size), int(perm.shape[0]))
+        batch_size = self._round_batch(batch_size, int(perm.shape[0]))
+        nd = self.ctx.mesh.devices.size if self.ctx.mesh is not None else 1
+        if int(perm.shape[0]) < batch_size:
+            raise ValueError(
+                f"dataset of {int(perm.shape[0])} samples cannot fill one "
+                f"batch of {batch_size} on a {nd}-device mesh")
         perm = perm[: (perm.shape[0] // batch_size) * batch_size]
         return self._train_epoch(state, images, labels, perm, rng,
                                  jnp.asarray(lr, jnp.float32), batch_size)
@@ -259,7 +274,11 @@ class Engine:
         ``target_labels``: override labels (e.g. offset labels for shared
         eval)."""
         ctx = self.ctx
+        nd = ctx.mesh.devices.size if ctx.mesh is not None else 1
         batch_size = min(int(batch_size), int(images.shape[0]))
+        if nd > 1 and batch_size % nd:
+            # round UP for eval: padded idx/weights absorb the overshoot
+            batch_size += nd - batch_size % nd
         n = images.shape[0]
         n_batches = -(-n // batch_size)
         pad = n_batches * batch_size - n

@@ -103,8 +103,82 @@ class HATVGG(nn.Module):
     def conv_channels(self):
         return [int(v) for v in VGG_CFG[self.cfg_name] if v != "M"]
 
+    def smid_hw(self, input_size):
+        """Feature-map spatial dims at the conv->fc boundary."""
+        n_pools = sum(1 for v in VGG_CFG[self.cfg_name] if v == "M")
+        return (input_size[0] // (2 ** n_pools),
+                input_size[1] // (2 ** n_pools))
 
-def compute_mask_pre(model: HATVGG, params, task: int, smax: float):
+
+def _alexnet_smid(n: int) -> int:
+    """Spatial extent after AlexNet's conv/pool stack (torch arithmetic)."""
+    n = (n + 2 * 2 - 11) // 4 + 1   # conv 11x11 s4 p2
+    n = (n - 3) // 2 + 1            # maxpool 3x3 s2
+    #                                 conv 5x5 s1 p2 keeps size
+    n = (n - 3) // 2 + 1            # maxpool
+    #                                 3x 3x3 s1 p1 convs keep size
+    n = (n - 3) // 2 + 1            # maxpool
+    return n
+
+
+class HATAlexNet(nn.Module):
+    """AlexNet backbone with per-layer task-embedding gates
+    (ref:src/methods/HAT/networks/alexnet_hat.py — vgg_hat.Net over the
+    torchvision AlexNet with the dropout-FIRST FC order, ``first_drop=True``).
+
+    Same interface as HATVGG: returns (features, masks) with conv gates
+    first, then fc-trunk gates. Param names match HATVGG's scheme
+    (conv_i / fc_j / emb_*) so ``compute_mask_back`` applies unchanged."""
+
+    n_tasks: int
+    dtype: Any = jnp.float32
+    ALEX_CONVS = ((64, 11, 4, 2), (192, 5, 1, 2), (384, 3, 1, 1),
+                  (256, 3, 1, 1), (256, 3, 1, 1))
+    POOL_AFTER = (0, 1, 4)  # maxpool 3x3 s2 after these conv indices
+    FC_DIMS = (4096, 4096)
+
+    @nn.compact
+    def __call__(self, x, task, s, train: bool = False,
+                 ones_gates: bool = False):
+        masks = []
+        for i, (f, k, st, p) in enumerate(self.ALEX_CONVS):
+            x = nn.Conv(f, (k, k), strides=(st, st),
+                        padding=[(p, p), (p, p)], dtype=self.dtype,
+                        kernel_init=conv_init, name=f"conv_{i}")(x)
+            x = nn.relu(x)
+            if i in self.POOL_AFTER:
+                x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            emb = self.param(f"emb_conv_{i}", emb_init,
+                             (self.n_tasks, f), jnp.float32)
+            gate = jax.nn.sigmoid(s * emb[task])
+            if ones_gates:
+                gate = jnp.ones_like(gate)
+            masks.append(gate)
+            x = x * gate.reshape(1, 1, 1, -1).astype(x.dtype)
+        x = x.reshape((x.shape[0], -1))
+        for j, d in enumerate(self.FC_DIMS):
+            # AlexNet order: relu(fc(drop(x))) (ref:alexnet_hat.py forward)
+            x = nn.Dropout(rate=0.5, deterministic=not train)(x)
+            x = nn.Dense(d, dtype=self.dtype, kernel_init=dense_init,
+                         name=f"fc_{j}")(x)
+            x = nn.relu(x)
+            emb = self.param(f"emb_fc_{j}", emb_init,
+                             (self.n_tasks, d), jnp.float32)
+            gate = jax.nn.sigmoid(s * emb[task])
+            if ones_gates:
+                gate = jnp.ones_like(gate)
+            masks.append(gate)
+            x = x * gate.astype(x.dtype)
+        return x.astype(jnp.float32), masks
+
+    def conv_channels(self):
+        return [f for f, _, _, _ in self.ALEX_CONVS]
+
+    def smid_hw(self, input_size):
+        return (_alexnet_smid(input_size[0]), _alexnet_smid(input_size[1]))
+
+
+def compute_mask_pre(model, params, task: int, smax: float):
     """a^{<t}: elementwise max of previous tasks' gates at s=smax
     (ref:hat.py:57-89 ``init_masks``)."""
     if task == 0:
@@ -122,21 +196,25 @@ def compute_mask_pre(model: HATVGG, params, task: int, smax: float):
     return masks_pre
 
 
-def _dummy_hw(model: HATVGG):
+def _dummy_hw(model):
     # input spatial size is only needed to trace; stored on the instance
     return model._input_hw  # set by make_hat_model
 
 
 def make_hat_model(spec, n_tasks: int):
-    model = HATVGG(cfg_name=spec.arch, classifier_dims=spec.classifier_dims,
-                   n_tasks=n_tasks, dropout=spec.dropout,
-                   dtype=spec.compute_dtype)
+    if spec.arch == "alexnet":
+        model = HATAlexNet(n_tasks=n_tasks, dtype=spec.compute_dtype)
+    else:
+        model = HATVGG(cfg_name=spec.arch,
+                       classifier_dims=spec.classifier_dims,
+                       n_tasks=n_tasks, dropout=spec.dropout,
+                       dtype=spec.compute_dtype)
     object.__setattr__(model, "_input_hw",
                        (spec.input_size[0], spec.input_size[1], 3))
     return model
 
 
-def compute_mask_back(model: HATVGG, params, mask_pre, input_size):
+def compute_mask_back(model, params, mask_pre, input_size):
     """1 - get_view_for(a^{<t}) per weight (ref:vgg_hat.py:258-295).
 
     Returns a pytree matching ``params`` with entries for conv/fc kernels
@@ -147,9 +225,7 @@ def compute_mask_back(model: HATVGG, params, mask_pre, input_size):
     conv_masks = mask_pre[:n_conv]
     fc_masks = mask_pre[n_conv:]
     # spatial size after the pools, for the conv->fc boundary expansion
-    n_pools = sum(1 for v in VGG_CFG[model.cfg_name] if v == "M")
-    smid_h = input_size[0] // (2 ** n_pools)
-    smid_w = input_size[1] // (2 ** n_pools)
+    smid_h, smid_w = model.smid_hw(input_size)
 
     out = {}
     for name, leaf in params.items():
@@ -239,7 +315,7 @@ class HATEngine:
         def loss_fn(tr):
             feats, masks = self.model.apply(
                 {"params": tr["params"]}, x, self.task, s, train=True,
-                rngs={"dropout": rng_d} if self.spec.dropout else None,
+                rngs={"dropout": rng_d} if self.spec.uses_dropout else None,
                 ones_gates=self.finetune_mode)
             logits = heads_lib.forward(self.bank(tr), feats, self.task)
             ce = optax.softmax_cross_entropy_with_integer_labels(

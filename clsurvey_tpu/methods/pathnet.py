@@ -11,10 +11,13 @@ prob 1/(N*L), +=randint(-2,2) mod M, ref:pathnet.py:186-199). Modules used
 by previous tasks' best paths are frozen; unused modules are re-initialised
 at task start (ref:pathnet.py:83-99).
 
-TPU insight: summing N selected modules' outputs equals a single conv with
-the *sum of the selected kernels* (convolution is linear in the kernel), so
-the stacked-module forward is one gather+reduce followed by one full-size
-conv per layer — no ragged module lists, MXU-friendly.
+TPU insight: the N selected modules run as ONE conv/matmul whose output
+channels are the concatenation of the modules' channels (gather the N
+kernels, stack along the output-channel axis); relu/dropout/maxpool are
+channelwise, so applying them on the concatenated tensor and then summing
+the N channel groups reproduces the reference's post-activation module sum
+(ref:vgg_pathnet.py forward: ``sum_j maxpool(drop(relu(conv_j(x))))``)
+exactly — no ragged module lists, one MXU launch per layer.
 
 Deviation: the Phase-1 maximal-plasticity variant trains a fixed path with
 all its modules unfrozen (the reference's pathnet_finetune uses full-capacity
@@ -60,10 +63,10 @@ class PathNetVGG(nn.Module):
         """path: (L, N) int32 module indices per layer."""
         cfg = VGG_CFG[self.cfg_name]
         conv_idx = 0
-        for v in cfg:
+        for ci, v in enumerate(cfg):
             if v == "M":
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
-                continue
+                continue  # handled as pool_after on the preceding conv
+            pool_after = ci + 1 < len(cfg) and cfg[ci + 1] == "M"
             out_w = max(int(v) // self.M, 1)
             in_w = x.shape[-1]
             kernel = self.param(f"conv_{conv_idx}_kernel", conv_init,
@@ -71,13 +74,9 @@ class PathNetVGG(nn.Module):
             bias = self.param(f"conv_{conv_idx}_bias",
                               nn.initializers.zeros,
                               (self.M, out_w), jnp.float32)
-            sel = path[conv_idx]  # (N,)
-            k = jnp.sum(kernel[sel], axis=0)
-            b = jnp.sum(bias[sel], axis=0)
-            x = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), k.astype(self.dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            x = nn.relu(x + b.astype(x.dtype))
+            x = _module_conv(x, kernel, bias, path[conv_idx], out_w,
+                             self.dtype, strides=(1, 1), padding="SAME",
+                             pool=(2, 2) if pool_after else None)
             conv_idx += 1
         x = x.reshape((x.shape[0], -1))
         n_convs = conv_idx
@@ -89,17 +88,114 @@ class PathNetVGG(nn.Module):
                                 (self.M, in_w, out_w), jnp.float32)
             bias = self.param(f"fc_{j}_bias", nn.initializers.zeros,
                               (self.M, out_w), jnp.float32)
-            sel = path[n_convs + j]
-            k = jnp.sum(kernel[sel], axis=0)
-            b = jnp.sum(bias[sel], axis=0)
-            x = nn.relu(x.astype(self.dtype) @ k.astype(self.dtype)
-                        + b.astype(self.dtype))
+            x = _module_dense(x, kernel, bias, path[n_convs + j], out_w,
+                              self.dtype)
         return x.astype(jnp.float32)
 
     @property
     def n_layers(self):
         convs, fcs = self.layer_sizes()
         return len(convs) + len(fcs)
+
+    @property
+    def feature_dim(self):
+        return max(int(self.classifier_dims[-1]) // self.M, 1)
+
+
+def _module_conv(x, kernel, bias, sel, out_w, dtype, strides, padding,
+                 pool, drop_rate=0.0, drop_rng=None, pool_shape=(2, 2)):
+    """N selected conv modules as one conv with concatenated output
+    channels, then channelwise relu[/dropout][/pool] and a sum over the N
+    channel groups — exact post-activation module sum
+    (ref:vgg_pathnet.py / alexnet_pathnet.py forward)."""
+    n = sel.shape[0]
+    k = kernel[sel]                       # (N, kh, kw, in, out)
+    k = jnp.moveaxis(k, 0, -2).reshape(k.shape[1:3] + (k.shape[3],
+                                                       n * out_w))
+    b = bias[sel].reshape(n * out_w)
+    x = jax.lax.conv_general_dilated(
+        x.astype(dtype), k.astype(dtype), strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    x = nn.relu(x + b.astype(x.dtype))
+    if drop_rate and drop_rng is not None:
+        keep = jax.random.bernoulli(drop_rng, 1 - drop_rate, x.shape)
+        x = jnp.where(keep, x / (1 - drop_rate), 0.0).astype(x.dtype)
+    if pool is not None:
+        x = nn.max_pool(x, pool_shape, strides=pool_shape)
+    return x.reshape(x.shape[:-1] + (n, out_w)).sum(-2)
+
+
+def _module_dense(x, kernel, bias, sel, out_w, dtype, drop_rate=0.0,
+                  drop_rng=None):
+    n = sel.shape[0]
+    k = kernel[sel]                       # (N, in, out)
+    k = jnp.moveaxis(k, 0, -2).reshape(k.shape[1], n * out_w)
+    b = bias[sel].reshape(n * out_w)
+    x = nn.relu(x.astype(dtype) @ k.astype(dtype) + b.astype(dtype))
+    if drop_rate and drop_rng is not None:
+        keep = jax.random.bernoulli(drop_rng, 1 - drop_rate, x.shape)
+        x = jnp.where(keep, x / (1 - drop_rate), 0.0).astype(x.dtype)
+    return x.reshape(x.shape[:-1] + (n, out_w)).sum(-2)
+
+
+class PathNetAlexNet(nn.Module):
+    """The reference's standalone 5-layer AlexNet-budget PathNet
+    (ref:src/methods/HAT/networks/alexnet_pathnet.py): 3 convs + 2 FCs,
+    module widths ``int(0.258 * base)`` ("better config found by us",
+    expand_factor matching AlexNet's parameter count), kernel sizes
+    ``size//8, size//10, 2``, 2x2 maxpool after every conv, dropout 0.2 on
+    the first two convs and 0.5 from conv3 on. Same interface as
+    PathNetVGG."""
+
+    input_px: int
+    M: int
+    N: int
+    dtype: Any = jnp.float32
+    EXPAND = 0.258
+
+    def layer_sizes(self):
+        e = self.EXPAND
+        return ([int(e * 64), int(e * 128), int(e * 256)],
+                [int(e * 2048), int(e * 2048)])
+
+    @nn.compact
+    def __call__(self, x, path, train: bool = False):
+        convs, fcs = self.layer_sizes()
+        size = self.input_px
+        ksizes = (size // 8, size // 10, 2)
+        drops = (0.2, 0.2, 0.5)
+        make_rng = (lambda i: self.make_rng("dropout")) if train else \
+            (lambda i: None)
+        for i, (out_w, k, dr) in enumerate(zip(convs, ksizes, drops)):
+            in_w = x.shape[-1]
+            kernel = self.param(f"conv_{i}_kernel", conv_init,
+                                (self.M, k, k, in_w, out_w), jnp.float32)
+            bias = self.param(f"conv_{i}_bias", nn.initializers.zeros,
+                              (self.M, out_w), jnp.float32)
+            x = _module_conv(x, kernel, bias, path[i], out_w, self.dtype,
+                             strides=(1, 1), padding="VALID", pool=(2, 2),
+                             drop_rate=dr if train else 0.0,
+                             drop_rng=make_rng(i))
+        x = x.reshape((x.shape[0], -1))
+        for j, out_w in enumerate(fcs):
+            in_w = x.shape[-1]
+            kernel = self.param(f"fc_{j}_kernel", dense_init,
+                                (self.M, in_w, out_w), jnp.float32)
+            bias = self.param(f"fc_{j}_bias", nn.initializers.zeros,
+                              (self.M, out_w), jnp.float32)
+            x = _module_dense(x, kernel, bias, path[3 + j], out_w,
+                              self.dtype,
+                              drop_rate=0.5 if train else 0.0,
+                              drop_rng=make_rng(3 + j))
+        return x.astype(jnp.float32)
+
+    @property
+    def n_layers(self):
+        return 5
+
+    @property
+    def feature_dim(self):
+        return self.layer_sizes()[1][-1]
 
 
 def module_train_mask(params, path: np.ndarray, frozen: np.ndarray):
@@ -147,10 +243,15 @@ class PathNet(Method):
     # ---- model plumbing -----------------------------------------------------
     def _module(self, manager, N):
         spec = manager.model_spec
-        model = PathNetVGG(cfg_name=spec.arch,
-                           classifier_dims=spec.classifier_dims,
-                           M=int(self.static_hyperparams["M"]), N=int(N),
-                           dtype=spec.compute_dtype)
+        if spec.arch == "alexnet":
+            model = PathNetAlexNet(input_px=int(spec.input_size[0]),
+                                   M=int(self.static_hyperparams["M"]),
+                                   N=int(N), dtype=spec.compute_dtype)
+        else:
+            model = PathNetVGG(cfg_name=spec.arch,
+                               classifier_dims=spec.classifier_dims,
+                               M=int(self.static_hyperparams["M"]),
+                               N=int(N), dtype=spec.compute_dtype)
         convs, _ = model.layer_sizes()
         _layer_index.n_convs = len(convs)
         return model
@@ -167,8 +268,7 @@ class PathNet(Method):
         key = jax.random.PRNGKey(manager.args.seed)
         dummy = jnp.zeros((2, spec.input_size[0], spec.input_size[1], 3))
         variables = model.init({"params": key}, dummy, jnp.asarray(path0))
-        feat_dim = max(int(spec.classifier_dims[-1])
-                       // int(self.static_hyperparams["M"]), 1)
+        feat_dim = model.feature_dim
         counts = np.zeros(manager.max_tasks, np.int32)
         seq = manager.dataset
         for t in range(1, seq.task_count + 1):
@@ -212,7 +312,7 @@ class PathNet(Method):
 
                 def loss_fn(tr):
                     feats = model.apply({"params": tr["params"]}, x, path,
-                                        train=True)
+                                        train=True, rngs={"dropout": sub})
                     logits = heads_lib.forward(bank(tr), feats, task)
                     return optax.softmax_cross_entropy_with_integer_labels(
                         logits, y).mean()

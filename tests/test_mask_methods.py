@@ -143,3 +143,112 @@ def test_hat_mask_back_blocks_prev_capacity():
             assert float(jnp.min(leaf)) == 1.0
         else:
             assert float(jnp.max(leaf["kernel"])) < 0.01
+
+
+ALEX_COMMON = dict(
+    model_name="alexnet",
+    ds_name="synthetic_2t_4c_64px",
+    num_epochs=3, batch_size=32, lr_grid=(1e-3,),
+    gridsearch_name="testgrid", max_attempts_per_task=1,
+)
+
+
+def test_hat_alexnet_sequence(fresh_config):
+    """HAT on the AlexNet backbone end-to-end (the iNaturalist/RecogSeq
+    protocol arch, ref:src/methods/HAT/networks/alexnet_hat.py)."""
+    from clsurvey_tpu.framework.common import RunArgs
+    from clsurvey_tpu.framework.main import main as run_main
+    from clsurvey_tpu.utils import io, paths as paths_lib
+
+    manager = run_main(RunArgs(method_name="HAT", test=True,
+                               hyperparams="50,0.5", **ALEX_COMMON))
+    best = io.load(manager.previous_task_model_path)
+    assert best["meta"].get("hat")
+    # AlexNet HAT params: 5 gated convs + 2 gated fcs
+    emb_names = {n for n in best["params"] if n.startswith("emb_")}
+    assert emb_names == {f"emb_conv_{i}" for i in range(5)} | {
+        "emb_fc_0", "emb_fc_1"}, emb_names
+    out_dir = paths_lib.get_test_results_path(
+        ALEX_COMMON["ds_name"], "HAT", "alexnet", "testgrid",
+        manager.exp_name, create=False)
+    res = io.load(os.path.join(out_dir, "test_method_performancesHAT1.pth"))
+    assert len(res["HAT"]["seq_res"]) == 2
+
+
+def test_pathnet_alexnet_sequence(fresh_config):
+    """PathNet's standalone AlexNet-budget net end-to-end
+    (ref:src/methods/HAT/networks/alexnet_pathnet.py)."""
+    from clsurvey_tpu.framework.common import RunArgs
+    from clsurvey_tpu.framework.main import main as run_main
+    from clsurvey_tpu.utils import io, paths as paths_lib
+
+    kwargs = dict(ALEX_COMMON)
+    # 32px keeps the CPU cost down; the net derives its kernel sizes from
+    # the input size (ref:alexnet_pathnet.py kernel_size=size//8, size//10)
+    kwargs["ds_name"] = "synthetic_2t_4c_32px"
+    kwargs["num_epochs"] = 2
+    manager = run_main(RunArgs(method_name="pathnet", test=True,
+                               hyperparams="2", static_hyperparams="4,2",
+                               **kwargs))
+    best = io.load(manager.previous_task_model_path)
+    assert best["meta"].get("pathnet")
+    aux = best["method_aux"]
+    assert len(aux["best_paths"]) == 2  # one winning path per task
+    assert np.asarray(aux["best_paths"][0]).shape == (5, 2)  # L=5, N=2
+    out_dir = paths_lib.get_test_results_path(
+        kwargs["ds_name"], "pathnet", "alexnet", "testgrid",
+        manager.exp_name, create=False)
+    res = io.load(os.path.join(out_dir,
+                               "test_method_performancespathnet1.pth"))
+    assert len(res["pathnet"]["seq_res"]) == 2
+
+
+def test_pathnet_module_sum_is_post_activation():
+    """The concatenated-channels trick must equal the reference's
+    per-module sum: sum_j maxpool(relu(conv_j(x)))
+    (ref:vgg_pathnet.py forward)."""
+    from clsurvey_tpu.methods.pathnet import PathNetVGG
+
+    model = PathNetVGG(cfg_name="tiny_CNN", classifier_dims=(16, 16),
+                       M=4, N=2)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (2, 32, 32, 3)).astype(np.float32))
+    path = jnp.asarray([[0, 2]] * model.n_layers, jnp.int32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, path)
+    out = model.apply(v, x, path)
+
+    # manual per-module forward of the first conv layer
+    p = v["params"]
+    k, b = p["conv_0_kernel"], p["conv_0_bias"]
+
+    def one_module(m):
+        h = jax.lax.conv_general_dilated(
+            x, k[m], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        h = jax.nn.relu(h + b[m])
+        import flax.linen as fnn
+        return fnn.max_pool(h, (2, 2), strides=(2, 2))
+
+    expected_l0 = one_module(0) + one_module(2)
+
+    # recompute via a 1-layer probe: run the model's first layer only by
+    # zeroing everything else is complex; instead check a single conv layer
+    # model end-to-end
+    single = PathNetVGG(cfg_name="tiny_CNN", classifier_dims=(16,),
+                        M=4, N=2)
+    # reuse conv_0 params, fresh fc
+    path1 = jnp.asarray([[0, 2]] * single.n_layers, jnp.int32)
+    v1 = single.init({"params": jax.random.PRNGKey(0)}, x, path1)
+    params1 = dict(v1["params"])
+    params1["conv_0_kernel"], params1["conv_0_bias"] = k, b
+    # the second tiny_CNN conv consumes layer-0 output; verify layer-0 by
+    # comparing the model's intermediate via linearity is overkill — assert
+    # the direct helper instead
+    from clsurvey_tpu.methods.pathnet import _module_conv
+    got_l0 = _module_conv(x, k, b, jnp.asarray([0, 2]), k.shape[-1],
+                          jnp.float32, strides=(1, 1), padding="SAME",
+                          pool=(2, 2))
+    np.testing.assert_allclose(np.asarray(got_l0),
+                               np.asarray(expected_l0), rtol=1e-5,
+                               atol=1e-5)
+    assert np.isfinite(np.asarray(out)).all()

@@ -85,3 +85,151 @@ def test_dp_matches_single_device(tmp_path):
         results[name] = (float(m["loss"]), float(m["acc"]))
     assert results["dp8"] == pytest.approx(results["dp1"], rel=2e-2), \
         results
+
+
+def _dp_meshes():
+    return (("dp8", mesh_lib.make_mesh(jax.devices())),
+            ("dp1", mesh_lib.make_mesh(jax.devices()[:1])))
+
+
+def test_gem_dp_matches_single_device(tmp_path):
+    """GEM's vmapped memory-gradient sweep + QP projection must give the
+    same metrics on an 8-device data mesh as on one device (the psum of
+    memory grads over ICI is the point of the layer, SURVEY §2.7)."""
+    from clsurvey_tpu.methods.rehearsal import (
+        GEMRule, fresh_task_memory, fill_buffer_from_data)
+
+    spec = parse_model_name(str(tmp_path), "tiny_CNN_cl_32_32", (32, 32))
+    seq = parse_ds("synthetic_2t_4c_32px")
+    td1 = seq.get_task_dataset(1)
+    td2 = seq.get_task_dataset(2)
+    sd = init_model_state(spec, jax.random.PRNGKey(2), max_tasks=2,
+                          classes_per_task=4)
+    mem = fresh_task_memory(2, 16, (32, 32))
+    mem = fill_buffer_from_data(mem, 0, np.asarray(td1.train.images),
+                                np.asarray(td1.train.labels), seed=3)
+    images = jnp.asarray(td2.train.images)
+    labels = jnp.asarray(td2.train.labels)
+    perm = jax.random.permutation(jax.random.PRNGKey(0), images.shape[0])
+    results = {}
+    for name, mesh in _dp_meshes():
+        rule = GEMRule(n_memories=16, mem_batch=16)
+        ctx = make_context(spec, task=1, n_tasks=2, class_counts=[4, 4],
+                           mean=seq.mean, std=seq.std, update_rule=rule,
+                           mesh=mesh)
+        engine = Engine(ctx)
+        tr = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True),
+            {"params": sd["params"],
+             "heads": {"kernel": sd["heads"]["kernel"],
+                       "bias": sd["heads"]["bias"]}})
+        # the engine donates state buffers — copy the shared memory pytree
+        mstate = rule.init_state(tr, {"margin": 0.5}, ctx,
+                                 memory=jax.tree_util.tree_map(
+                                     lambda x: jnp.array(x, copy=True), mem))
+        state = TrainState(tr, {}, tree_zeros_like(tr), mstate)
+        if mesh.devices.size > 1:
+            state = jax.device_put(state, mesh_lib.replicated(mesh))
+        for e in range(2):
+            key = jax.random.fold_in(jax.random.PRNGKey(1), e)
+            state, m = engine.train_epoch(state, images, labels, perm,
+                                          key, 0.01, 32)
+        results[name] = (float(m["loss"]), float(m["acc"]),
+                         float(m["projected"]))
+    assert results["dp8"] == pytest.approx(results["dp1"], rel=2e-2,
+                                           abs=1e-3), results
+
+
+def test_ewc_fisher_dp_matches_single_device(tmp_path):
+    """The Fisher scan under an 8-device mesh context equals the 1-device
+    result (importance tensors are Ω accumulations psum'd over ICI)."""
+    from clsurvey_tpu.ops import importance as imp_lib
+
+    spec = parse_model_name(str(tmp_path), "tiny_CNN_cl_32_32", (32, 32))
+    seq = parse_ds("synthetic_2t_4c_32px")
+    td = seq.get_task_dataset(1)
+    sd = init_model_state(spec, jax.random.PRNGKey(2), max_tasks=2,
+                          classes_per_task=4)
+    params = jax.tree_util.tree_map(jnp.asarray, sd["params"])
+    bank = {"kernel": jnp.asarray(sd["heads"]["kernel"]),
+            "bias": jnp.asarray(sd["heads"]["bias"]),
+            "class_counts": np.asarray([4, 4])}
+    images = jnp.asarray(td.train.images[:64])
+    labels = jnp.asarray(td.train.labels[:64])
+    omegas = {}
+    for name, mesh in _dp_meshes():
+        ctx = make_context(spec, task=0, n_tasks=1, class_counts=[4, 4],
+                           mean=seq.mean, std=seq.std,
+                           update_rule=UpdateRule(), mesh=mesh)
+        omegas[name] = imp_lib.ewc_fisher(ctx, params, {}, bank, 0,
+                                          images, labels, batch_size=16)
+    for a, b in zip(jax.tree_util.tree_leaves(omegas["dp8"]),
+                    jax.tree_util.tree_leaves(omegas["dp1"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)
+
+
+def test_bn_epoch_dp_matches_single_device(tmp_path):
+    """BN batch_stats under sharded batches: dp8 vs dp1 metric parity
+    (GSPMD must reduce the batch moments over the data axis)."""
+    spec = parse_model_name(str(tmp_path), "tiny_CNN_cl_32_32_BN", (32, 32))
+    seq = parse_ds("synthetic_2t_4c_32px")
+    td = seq.get_task_dataset(1)
+    sd = init_model_state(spec, jax.random.PRNGKey(2), max_tasks=2,
+                          classes_per_task=4)
+    images = jnp.asarray(td.train.images)
+    labels = jnp.asarray(td.train.labels)
+    perm = jax.random.permutation(jax.random.PRNGKey(0), images.shape[0])
+    results = {}
+    stats = {}
+    for name, mesh in _dp_meshes():
+        ctx = make_context(spec, task=0, n_tasks=1, class_counts=[4, 4],
+                           mean=seq.mean, std=seq.std,
+                           update_rule=UpdateRule(), mesh=mesh)
+        engine = Engine(ctx)
+        state = _fresh_state(sd, UpdateRule(), ctx)
+        if mesh.devices.size > 1:
+            state = jax.device_put(state, mesh_lib.replicated(mesh))
+        for e in range(2):
+            key = jax.random.fold_in(jax.random.PRNGKey(1), e)
+            state, m = engine.train_epoch(state, images, labels, perm,
+                                          key, 0.01, 32)
+        results[name] = (float(m["loss"]), float(m["acc"]))
+        stats[name] = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    assert results["dp8"] == pytest.approx(results["dp1"], rel=2e-2), results
+    for a, b in zip(jax.tree_util.tree_leaves(stats["dp8"]),
+                    jax.tree_util.tree_leaves(stats["dp1"])):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
+def test_batch_size_rounded_to_mesh_multiple(tmp_path):
+    """bs=30 on an 8-device mesh must not crash constrain_batch: the
+    engine rounds train batches down (30→24) and eval batches up (30→32,
+    absorbed by the padded-batch weights)."""
+    spec = parse_model_name(str(tmp_path), "tiny_CNN_cl_32_32", (32, 32))
+    seq = parse_ds("synthetic_2t_4c_32px")
+    td = seq.get_task_dataset(1)
+    sd = init_model_state(spec, jax.random.PRNGKey(2), max_tasks=2,
+                          classes_per_task=4)
+    mesh = mesh_lib.make_mesh(jax.devices())
+    assert mesh.devices.size == 8
+    ctx = make_context(spec, task=0, n_tasks=1, class_counts=[4, 4],
+                       mean=seq.mean, std=seq.std,
+                       update_rule=UpdateRule(), mesh=mesh)
+    engine = Engine(ctx)
+    assert engine._round_batch(30, 1000) == 24
+    assert engine._round_batch(5, 1000) == 8
+    state = _fresh_state(sd, UpdateRule(), ctx)
+    state = jax.device_put(state, mesh_lib.replicated(mesh))
+    images = jnp.asarray(td.train.images)
+    labels = jnp.asarray(td.train.labels)
+    perm = jax.random.permutation(jax.random.PRNGKey(0), images.shape[0])
+    state, m = engine.train_epoch(state, images, labels, perm,
+                                  jax.random.PRNGKey(1), 0.01, 30)
+    assert np.isfinite(float(m["loss"]))
+    # eval with a non-divisible batch on the full (non-divisible) val set
+    acc, pcc, pct = engine.evaluate(state.trainable, state.batch_stats,
+                                    jnp.asarray(td.val.images),
+                                    jnp.asarray(td.val.labels), 30)
+    assert 0.0 <= acc <= 1.0
+    assert float(pct.sum()) == td.val.images.shape[0]
