@@ -3,10 +3,12 @@
 Behavior parity with the reference's dataprep + registry
 (ref:src/data/tinyimgnet_dataprep.py:16-257, ref:src/data/dataset.py:205-375):
 
-- 200 classes split into ``task_count`` equal tasks in a **fixed class
-  order** (reference ships ``tinyimgnet_classes.txt``; we use a caller-
-  provided order file or the sorted wnids, recorded into the prepared
-  artifact so the split is reproducible);
+- 200 classes split into ``task_count`` equal tasks in the **survey's
+  fixed class order**: the reference's ``tinyimgnet_classes.txt`` ships in
+  this package (config data consumed at
+  ref:src/data/tinyimgnet_dataprep.py:216) and is the default, so the
+  10-task splits are identical to the paper's; a caller-provided
+  ``order_file`` or ``survey_order=False`` (sorted wnids) overrides;
 - per task: the official train split is divided 80/20 into train/val; the
   official val split (which has labels) becomes the test set
   (ref:src/data/tinyimgnet_dataprep.py:154-174);
@@ -43,7 +45,14 @@ def _load_image(path: str) -> np.ndarray:
     return arr
 
 
-def _read_class_order(raw_root: str, order_file: str | None) -> list[str]:
+SURVEY_ORDER_FILE = os.path.join(os.path.dirname(__file__),
+                                 "tinyimgnet_classes.txt")
+
+
+def _read_class_order(raw_root: str, order_file: str | None,
+                      survey_order: bool = True) -> list[str]:
+    if order_file is None and survey_order:
+        order_file = SURVEY_ORDER_FILE
     if order_file and os.path.isfile(order_file):
         with open(order_file) as f:
             order = [line.strip() for line in f if line.strip()]
@@ -56,7 +65,7 @@ def _read_class_order(raw_root: str, order_file: str | None) -> list[str]:
 
 def prepare(raw_root: str, out_root: str, task_count: int = 10,
             order_file: str | None = None, seed: int = 7,
-            variant: str = "") -> str:
+            variant: str = "", survey_order: bool = True) -> str:
     """Serialize per-task npz bundles from an unpacked tiny-imagenet-200
     dir. ``variant`` names an alternative class ordering (the reference's
     hard<->easy orderings via symlinked task dirs,
@@ -68,7 +77,7 @@ def prepare(raw_root: str, out_root: str, task_count: int = 10,
     if os.path.isfile(token):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    order = _read_class_order(raw_root, order_file)
+    order = _read_class_order(raw_root, order_file, survey_order)
     per_task = N_CLASSES // task_count
     rng = np.random.default_rng(seed)
 

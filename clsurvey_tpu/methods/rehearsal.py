@@ -31,9 +31,10 @@ all happen on device with zero host round-trips.
 Documented deviations from the reference (behavior-level equivalents):
 - exemplar picks within a class use a deterministic round-robin for the
   remainder instead of python ``random.randint`` retry loops;
-- iCaRL's distillation term is the clean per-task mean (the reference's
-  running accumulation at icarl.py:585-593 re-scales earlier tasks'
-  contributions in a convoluted way);
+- iCaRL's distillation term uses exact KLDivLoss('batchmean') semantics
+  (icarl.py:64,582; torch-parity tested) as one pooled mean over a
+  mixed-task exemplar sample per step, instead of the reference's
+  per-task-batch running accumulation (icarl.py:585-593);
 - dropout masks are per-element (flax) rather than one broadcast unit mask
   (gem.py:177-196), same retention probability."""
 
@@ -53,7 +54,7 @@ from clsurvey_tpu.methods.finetune import finetune_grid_train
 from clsurvey_tpu.models import heads as heads_lib
 from clsurvey_tpu.ops import herding as herd_lib
 from clsurvey_tpu.ops import preprocess as pp
-from clsurvey_tpu.ops.distill import icarl_distill  # noqa: F401 (API)
+from clsurvey_tpu.ops.distill import icarl_distill
 from clsurvey_tpu.ops.qp import gem_project_if_violating
 from clsurvey_tpu.utils import io
 
@@ -366,18 +367,10 @@ class ICarlRule(UpdateRule):
         lo = (tasks * kernel_c)[:, None]
         counts = jnp.asarray(ctx.class_counts)[tasks][:, None]
         region = (col >= lo) & (col < lo + counts)
-        s = jnp.where(region, logits, NEG_INF) / self.T
-        tgt = jnp.where(region, targets, NEG_INF) / self.T
-        log_p_s = jax.nn.log_softmax(s, axis=1)
-        p_t = jax.nn.softmax(tgt, axis=1)
-        # elementwise-mean KL over the region, x T^2 (torch KLDivLoss
-        # 'mean' divides by elements; region size = classes of the task)
-        kl_el = jnp.where(p_t > 0,
-                          p_t * (jnp.log(jnp.maximum(p_t, 1e-30))
-                                 - log_p_s), 0.0)
-        per_sample = jnp.sum(kl_el, axis=1) / jnp.maximum(
-            jnp.sum(region, axis=1), 1)
-        dist = jnp.mean(per_sample) * (self.T ** 2)
+        # KLDivLoss(reduction='batchmean') semantics, T=2
+        # (ref:icarl.py:64 'batchmean', applied at :582)
+        dist = icarl_distill(jnp.where(region, logits, NEG_INF),
+                             jnp.where(region, targets, NEG_INF), self.T)
         dist = jnp.maximum(dist, 0.0)  # numerical guard (ref:icarl.py:586)
         return mstate["hyper"]["lambda"] * dist
 

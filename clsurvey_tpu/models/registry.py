@@ -184,9 +184,17 @@ def load_pretrained(spec: ModelSpec, params: Any) -> Any:
     path = os.path.join(spec.models_root_path,
                         f"{spec.arch}_imagenet.npz")
     if not os.path.isfile(path):
-        print(f"[WARN] pretrained weights not found at {path}; "
-              f"using scratch init for {spec.name}")
-        return params
+        if os.environ.get("CLSURVEY_ALLOW_SCRATCH_PRETRAINED"):
+            print(f"[WARN] pretrained weights not found at {path}; "
+                  f"using scratch init for {spec.name}")
+            return params
+        raise FileNotFoundError(
+            f"'{spec.name}' requests pretrained weights but {path} does "
+            f"not exist. Generate it with "
+            f"scripts/dump_torchvision_alexnet.py (from torchvision or a "
+            f"local torch checkpoint), or set "
+            f"CLSURVEY_ALLOW_SCRATCH_PRETRAINED=1 to accept a scratch "
+            f"init (results will not match the reference protocol).")
     flat_npz = dict(np.load(path))
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     out = []

@@ -39,11 +39,19 @@ def lwf_distill_multi(student_all: jnp.ndarray, teacher_all: jnp.ndarray,
     return jnp.sum(losses)
 
 
-def icarl_distill(student_logits: jnp.ndarray, teacher_probs: jnp.ndarray,
+def icarl_distill(student_logits: jnp.ndarray, teacher_logits: jnp.ndarray,
                   T: float = 2.0) -> jnp.ndarray:
-    """iCaRL's exemplar distillation: KL-style soft CE against stored
-    pre-update output probabilities (ref:src/methods/rehearsal/model/
-    icarl.py:482-598 uses T=2 softened targets)."""
-    y = student_logits / T
-    log_p = jax.nn.log_softmax(y, axis=1)
-    return -jnp.mean(jnp.sum(teacher_probs * log_p, axis=1))
+    """iCaRL's exemplar distillation with torch
+    ``KLDivLoss(reduction='batchmean')`` semantics: pointwise
+    ``KL(softmax(t/T) || softmax(s/T))`` SUMMED over classes, MEANED over
+    the batch, scaled by T^2 (ref:src/methods/rehearsal/model/icarl.py:64
+    builds the loss, :578-582 applies it to T-softened log/softmax pairs).
+
+    Accepts NEG_INF-masked logits (rows restricted to one task's class
+    region): masked entries produce p_t = 0 and contribute nothing."""
+    log_p_s = jax.nn.log_softmax(student_logits / T, axis=1)
+    p_t = jax.nn.softmax(teacher_logits / T, axis=1)
+    kl_el = jnp.where(p_t > 0,
+                      p_t * (jnp.log(jnp.maximum(p_t, 1e-30)) - log_p_s),
+                      0.0)
+    return jnp.mean(jnp.sum(kl_el, axis=1)) * (T ** 2)

@@ -1,0 +1,113 @@
+"""Dataprep validation on synthetic raw directory trees.
+
+The reference's prep scripts were exercised only on the real downloads
+(ref:src/data/tinyimgnet_dataprep.py:154-174); here a fake
+``tiny-imagenet-200`` tree (all 200 wnids, a few 64px images each) drives
+``prepare()`` end-to-end, pinning the survey class ordering, the 80/20
+train/val split, val->test relabeling, and token idempotence."""
+
+import os
+
+import numpy as np
+import pytest
+
+from clsurvey_tpu.data import tinyimagenet as tiny
+from clsurvey_tpu.data.imagefolders import load_imagefolder, split_train_val
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+
+def _write_png(path, value):
+    arr = np.full((64, 64, 3), value % 256, np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+@pytest.fixture(scope="module")
+def raw_tree(tmp_path_factory):
+    """Fake tiny-imagenet-200: every survey wnid with 5 train + 2 val
+    images (64x64)."""
+    root = tmp_path_factory.mktemp("tiny-imagenet-200")
+    with open(tiny.SURVEY_ORDER_FILE) as f:
+        wnids = [line.strip() for line in f if line.strip()]
+    assert len(wnids) == 200
+    with open(root / "wnids.txt", "w") as f:
+        f.write("\n".join(sorted(wnids)))
+    val_dir = root / "val" / "images"
+    val_dir.mkdir(parents=True)
+    ann_lines = []
+    for ci, wnid in enumerate(wnids):
+        img_dir = root / "train" / wnid / "images"
+        img_dir.mkdir(parents=True)
+        for j in range(5):
+            _write_png(img_dir / f"{wnid}_{j}.JPEG", ci * 5 + j)
+        for j in range(2):
+            fn = f"val_{ci * 2 + j}.JPEG"
+            _write_png(val_dir / fn, ci)
+            ann_lines.append(f"{fn}\t{wnid}\t0\t0\t0\t0")
+    with open(root / "val" / "val_annotations.txt", "w") as f:
+        f.write("\n".join(ann_lines))
+    return root, wnids
+
+
+def test_prepare_survey_order_and_splits(raw_tree, tmp_path):
+    raw_root, wnids = raw_tree
+    out = tiny.prepare(str(raw_root), str(tmp_path), task_count=10)
+    # task 1 holds exactly the first 20 wnids of the survey ordering, in
+    # order (ref:tinyimgnet_dataprep.py:216 consumes the fixed file)
+    z = np.load(os.path.join(out, "task_1.npz"), allow_pickle=False)
+    assert [str(c) for c in z["classes"]] == wnids[:20]
+    # 80/20 split of 5 train images: 4 train + 1 val per class
+    assert z["train_images"].shape == (20 * 4, 64, 64, 3)
+    assert z["val_images"].shape == (20 * 1, 64, 64, 3)
+    # official val becomes test: 2 per class
+    assert z["test_images"].shape == (20 * 2, 64, 64, 3)
+    assert set(np.unique(z["train_labels"])) == set(range(20))
+    # test images carry the class-identifying pixel value
+    for local, wnid in enumerate(wnids[:3]):
+        sel = z["test_images"][z["test_labels"] == local]
+        ci = wnids.index(wnid)
+        assert np.all(sel == ci % 256), wnid
+
+    # the sequence registry reads the prepared bundles
+    seq = tiny.TinyImagenetSequence("tiny", ds_root=str(tmp_path))
+    td = seq.get_task_dataset(1)
+    assert td.classes == wnids[:20]
+    assert td.train.images.dtype == np.uint8
+
+    # idempotence: second call is a no-op via the token
+    # (ref *.TOKEN pattern)
+    marker = os.path.join(out, "task_1.npz")
+    mtime = os.path.getmtime(marker)
+    assert tiny.prepare(str(raw_root), str(tmp_path), task_count=10) == out
+    assert os.path.getmtime(marker) == mtime
+
+
+def test_prepare_40task_variant(raw_tree, tmp_path):
+    raw_root, wnids = raw_tree
+    out = tiny.prepare(str(raw_root), str(tmp_path), task_count=40)
+    z = np.load(os.path.join(out, "task_40.npz"), allow_pickle=False)
+    assert [str(c) for c in z["classes"]] == wnids[195:200]
+    seq = tiny.TinyImagenetSequence("tiny40", ds_root=str(tmp_path))
+    assert seq.task_count == 40
+    assert seq.classes_per_task["40"] == 5
+
+
+def test_load_imagefolder_and_split(tmp_path):
+    """ImageFolder loader: class order, min_images filter, resize, and the
+    stratified train/val split (ref:src/data/imgfolder.py +
+    inaturalist ≥100-image filter)."""
+    for cname, n in (("classA", 4), ("classB", 6), ("tiny", 1)):
+        d = tmp_path / cname
+        d.mkdir()
+        for j in range(n):
+            _write_png(d / f"{j}.png", hash(cname) % 200 + j)
+    images, labels, classes = load_imagefolder(
+        str(tmp_path), (32, 32), min_images=2)
+    assert classes == ["classA", "classB"]  # 'tiny' filtered out
+    assert images.shape == (10, 32, 32, 3)
+    assert list(np.bincount(labels)) == [4, 6]
+    tr, va = split_train_val(images, labels, val_fraction=0.25, seed=3)
+    assert len(tr.labels) + len(va.labels) == 10
+    # at least one val sample per class (reference splits per class)
+    assert set(np.unique(va.labels)) == {0, 1}

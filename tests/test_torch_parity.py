@@ -209,3 +209,89 @@ def test_sgd_ewc_step_parity(setup):
     ours_head = np.asarray(new_state.trainable["heads"]["kernel"][0])
     np.testing.assert_allclose(ours_head, np_of(head.weight).T, rtol=1e-4,
                                atol=1e-6)
+
+
+def test_alexnet_converter_parity(tmp_path):
+    """The torchvision->npz converter preserves the forward function: a
+    torch AlexNet (torchvision layout, random weights) and our flax
+    AlexNetBackbone loaded from the converted npz produce the same
+    features (ref:src/models/net.py:101-106 pretrained AlexNet)."""
+    import sys
+
+    import torch.nn as nn
+
+    sys.path.insert(0, "scripts")
+    from dump_torchvision_alexnet import convert_state_dict
+
+    from clsurvey_tpu.models.registry import (
+        init_model_state, load_pretrained, parse_model_name)
+
+    # torchvision AlexNet twin (same Sequential indices as its state_dict)
+    torch_model = nn.Sequential()
+    features = nn.Sequential(
+        nn.Conv2d(3, 64, 11, 4, 2), nn.ReLU(), nn.MaxPool2d(3, 2),
+        nn.Conv2d(64, 192, 5, 1, 2), nn.ReLU(), nn.MaxPool2d(3, 2),
+        nn.Conv2d(192, 384, 3, 1, 1), nn.ReLU(),
+        nn.Conv2d(384, 256, 3, 1, 1), nn.ReLU(),
+        nn.Conv2d(256, 256, 3, 1, 1), nn.ReLU(), nn.MaxPool2d(3, 2))
+    classifier = nn.Sequential(
+        nn.Dropout(), nn.Linear(256 * 6 * 6, 4096), nn.ReLU(),
+        nn.Dropout(), nn.Linear(4096, 4096), nn.ReLU(),
+        nn.Linear(4096, 1000))
+    torch_model.add_module("features", features)
+    torch_model.add_module("classifier", classifier)
+    torch_model.eval()
+
+    sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+    flat = convert_state_dict(sd)
+    assert "fc_0/kernel" in flat and "conv_4/bias" in flat
+    np.savez(str(tmp_path / "alexnet_imagenet.npz"), **flat)
+
+    spec = parse_model_name(str(tmp_path), "alexnet_pretrained", (224, 224))
+    assert spec.pretrained
+    state = init_model_state(spec, jax.random.PRNGKey(0), max_tasks=2,
+                             classes_per_task=4)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (2, 224, 224, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_in = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        t_feats = classifier[:6](
+            torch.flatten(features(t_in), 1)).numpy()
+    backbone = spec.make_backbone()
+    j_feats = np.asarray(backbone.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, state["params"])},
+        jnp.asarray(x), train=False))
+    np.testing.assert_allclose(j_feats, t_feats, rtol=1e-3, atol=1e-4)
+
+
+def test_icarl_distill_matches_torch_batchmean():
+    """icarl_distill == torch KLDivLoss(reduction='batchmean') on
+    T-softened log/softmax pairs (ref:icarl.py:64,578-582)."""
+    from clsurvey_tpu.ops.distill import icarl_distill
+
+    rng = np.random.default_rng(0)
+    s = rng.normal(0, 2, (8, 20)).astype(np.float32)
+    t = rng.normal(0, 2, (8, 20)).astype(np.float32)
+    T = 2.0
+    with torch.no_grad():
+        kl = torch.nn.KLDivLoss(reduction="batchmean")
+        lsm = torch.nn.LogSoftmax(dim=1)
+        sm = torch.nn.Softmax(dim=1)
+        expected = float(kl(lsm(torch.from_numpy(s) / T),
+                            sm(torch.from_numpy(t) / T)) * (T ** 2))
+    got = float(icarl_distill(jnp.asarray(s), jnp.asarray(t), T))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+    # masked-region variant: NEG_INF outside a 5-class region must equal
+    # torch on the sliced region (the reference slices, we mask)
+    NEG_INF = -1e10
+    mask = np.full((8, 20), NEG_INF, np.float32)
+    mask[:, 5:10] = 0.0
+    with torch.no_grad():
+        expected_sl = float(kl(lsm(torch.from_numpy(s[:, 5:10]) / T),
+                               sm(torch.from_numpy(t[:, 5:10]) / T))
+                            * (T ** 2))
+    got_masked = float(icarl_distill(jnp.asarray(s + mask),
+                                     jnp.asarray(t + mask), T))
+    np.testing.assert_allclose(got_masked, expected_sl, rtol=1e-5)
