@@ -46,9 +46,13 @@ def main():
         update_rule=UpdateRule(), augment=True)
     engine = Engine(ctx)
     rule = UpdateRule()
-    trainable = {"params": state_dict["params"],
-                 "heads": {"kernel": state_dict["heads"]["kernel"],
-                           "bias": state_dict["heads"]["bias"]}}
+    # copies: the engine donates state buffers, and state_dict is reused
+    # by the per-method benches below
+    trainable = jax.tree_util.tree_map(
+        lambda x: jnp.array(x, copy=True),
+        {"params": state_dict["params"],
+         "heads": {"kernel": state_dict["heads"]["kernel"],
+                   "bias": state_dict["heads"]["bias"]}})
     state = TrainState(trainable, {}, tree_zeros_like(trainable),
                        rule.init_state(trainable, {}, ctx))
 
@@ -82,12 +86,89 @@ def main():
     steps = n_train // batch_size
     imgs_per_sec = steps * batch_size / min(per_epoch)
 
+    extras = {
+        "gem_step_imgs_per_sec": _bench_gem(spec, images, labels, ctx),
+        "ewc_fisher_imgs_per_sec": _bench_fisher(spec, state_dict, ctx,
+                                                 images, labels),
+    }
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 1),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / V100_REF_IMGS_PER_SEC, 3),
+        "extras": extras,
     }))
+
+
+def _bench_gem(spec, images, labels, base_ctx):
+    """GEM train-step throughput at the Tiny-ImageNet protocol point:
+    task 5 of 10, 4 past-task buffers of 1024 exemplars (the per-step
+    vmapped memory-grad sweep + QP is GEM's hot path, ref:gem.py:206-287)."""
+    from clsurvey_tpu.engine.train import (
+        Engine, TrainState, make_context, tree_zeros_like)
+    from clsurvey_tpu.methods.rehearsal import (
+        GEMRule, fresh_task_memory, fill_buffer_from_data)
+    from clsurvey_tpu.models.registry import init_model_state
+
+    sd = init_model_state(spec, jax.random.PRNGKey(3), max_tasks=10,
+                          classes_per_task=20)
+    rule = GEMRule(n_memories=1024, mem_batch=256)
+    ctx = make_context(
+        spec, task=4, n_tasks=5, class_counts=[20] * 10,
+        mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+        update_rule=rule, augment=True)
+    engine = Engine(ctx)
+    mem = fresh_task_memory(10, 1024, spec.input_size)
+    host_imgs = np.asarray(images[:4096])
+    host_lbls = np.asarray(labels[:4096])
+    for t in range(4):
+        mem = fill_buffer_from_data(mem, t, host_imgs, host_lbls, seed=t)
+    tr = {"params": sd["params"],
+          "heads": {"kernel": sd["heads"]["kernel"],
+                    "bias": sd["heads"]["bias"]}}
+    state = TrainState(tr, {}, tree_zeros_like(tr),
+                       rule.init_state(tr, {"margin": 0.5}, ctx, memory=mem))
+    bs = 200
+    n = 2000  # 10 steps per timed chunk
+    key = jax.random.PRNGKey(5)
+    perm = jax.random.permutation(key, n)
+    state, m = engine.train_epoch(state, images[:n], labels[:n], perm, key,
+                                  5e-3, bs)
+    _ = float(m["loss"])  # compile + sync
+    best = float("inf")
+    for e in range(3):
+        ekey = jax.random.fold_in(key, e)
+        perm = jax.random.permutation(ekey, n)
+        t0 = time.perf_counter()
+        state, m = engine.train_epoch(state, images[:n], labels[:n], perm,
+                                      ekey, 5e-3, bs)
+        _ = float(m["loss"])
+        best = min(best, time.perf_counter() - t0)
+    return round(n / best, 1)
+
+
+def _bench_fisher(spec, state_dict, ctx, images, labels):
+    """EWC Fisher estimation throughput over a 5000-image task split
+    (ref:main_EWC.py:79-123 full-dataset backward sweep)."""
+    from clsurvey_tpu.ops import importance as imp_lib
+
+    params = jax.tree_util.tree_map(jnp.asarray, state_dict["params"])
+    bank = {"kernel": jnp.asarray(state_dict["heads"]["kernel"]),
+            "bias": jnp.asarray(state_dict["heads"]["bias"]),
+            "class_counts": np.asarray([20] * 10)}
+    n = 5000
+    omega = imp_lib.ewc_fisher(ctx, params, {}, bank, 0, images[:n],
+                               labels[:n], batch_size=200)
+    jax.block_until_ready(omega)  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        omega = imp_lib.ewc_fisher(ctx, params, {}, bank, 0, images[:n],
+                                   labels[:n], batch_size=200)
+        jax.block_until_ready(omega)
+        _ = float(jax.tree_util.tree_leaves(omega)[0].sum())
+        best = min(best, time.perf_counter() - t0)
+    return round(n / best, 1)
 
 
 if __name__ == "__main__":

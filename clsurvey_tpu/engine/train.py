@@ -69,6 +69,9 @@ class EngineContext:
     freeze_backbone: bool = False  # head-only training (LwF warmup,
     # ref:src/methods/Finetune/main_SGD.py:72 freeze_mode)
     mesh: Any = None
+    # None -> resolved in make_context: Pallas fused u8->norm on TPU,
+    # jnp (XLA-fused) elsewhere. Override with CLSURVEY_PALLAS_PREPROCESS=0/1.
+    use_pallas_preprocess: bool = False
 
     def bank(self, trainable: Any) -> dict:
         return {"kernel": trainable["heads"]["kernel"],
@@ -99,15 +102,26 @@ class EngineContext:
                                        self.n_tasks)
 
     def preprocess(self, rng, images_u8):
-        x = pp.preprocess(rng, images_u8, self.mean, self.std, self.augment)
+        fn = pp.preprocess_pallas if self.use_pallas_preprocess \
+            else pp.preprocess
+        x = fn(rng, images_u8, self.mean, self.std, self.augment,
+               dtype=self.spec.compute_dtype)
         if self.mesh is not None:
             x = mesh_lib.constrain_batch(x, self.mesh)
         return x
 
 
+def _default_pallas_preprocess() -> bool:
+    env = os.environ.get("CLSURVEY_PALLAS_PREPROCESS")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return jax.default_backend() not in ("cpu",)
+
+
 def make_context(spec: ModelSpec, task: int, n_tasks: int,
                  class_counts, mean, std, update_rule: UpdateRule,
                  **kwargs) -> EngineContext:
+    kwargs.setdefault("use_pallas_preprocess", _default_pallas_preprocess())
     return EngineContext(
         spec=spec, backbone=spec.make_backbone(), task=task, n_tasks=n_tasks,
         class_counts=np.asarray(class_counts, np.int32), mean=tuple(mean),
@@ -435,6 +449,8 @@ def train_task(engine: Engine, job: TrainJob, state: TrainState,
     start_epoch, lr = 0, job.lr
     best_acc, val_beat_counts = 0.0, 0
     best_model = None
+    error_history: list = []  # per-epoch val error %, dumped as JSON
+    history_path = os.path.join(job.exp_dir, "error_history.json")
 
     if job.resume and io.exists(ckpt_path):
         ck = io.load(ckpt_path)
@@ -442,13 +458,23 @@ def train_task(engine: Engine, job: TrainJob, state: TrainState,
         lr = ck["lr"]
         best_acc = ck["best_acc"]
         val_beat_counts = ck["val_beat_counts"]
+        if ck.get("orbax_state"):
+            # large trees live in the Orbax dir next to the pickle
+            from clsurvey_tpu.utils import orbax_io
+            trees = orbax_io.load(ck["orbax_state"])
+        else:
+            trees = ck
         state = TrainState(
-            jax.tree_util.tree_map(jnp.asarray, ck["trainable"]),
-            jax.tree_util.tree_map(jnp.asarray, ck["batch_stats"]),
-            jax.tree_util.tree_map(jnp.asarray, ck["momentum"]),
-            jax.tree_util.tree_map(jnp.asarray, ck["mstate"]))
+            jax.tree_util.tree_map(jnp.asarray, trees["trainable"]),
+            jax.tree_util.tree_map(jnp.asarray, trees["batch_stats"]),
+            jax.tree_util.tree_map(jnp.asarray, trees["momentum"]),
+            jax.tree_util.tree_map(jnp.asarray, trees["mstate"]))
         if io.exists(best_path):
             best_model = io.load(best_path)
+        if os.path.isfile(history_path):
+            import json
+            with open(history_path) as f:
+                error_history = json.load(f).get("error_history", [])
         log(f"=> resumed epoch {start_epoch} lr={lr:g} best={best_acc:.4f}")
 
     root_key = jax.random.PRNGKey(job.seed)
@@ -477,6 +503,15 @@ def train_task(engine: Engine, job: TrainJob, state: TrainState,
         log(f"epoch {epoch}: loss={train_loss:.4f} "
             f"train_acc={train_acc:.4f} val_acc={val_acc:.4f} lr={lr:g}")
 
+        # per-epoch error history JSON next to the checkpoint
+        # (ref:src/methods/packnet/main.py:287-291 dumps error_history)
+        error_history.append(100.0 * (1.0 - val_acc))
+        if job.save_models_mode:
+            import json
+            with open(history_path, "w") as f:
+                json.dump({"error_history": error_history, "lr": lr,
+                           "train_loss": train_loss}, f)
+
         if np.isnan(train_loss):
             # NaN guard aborts training (ref:src/methods/SI/train_SI.py:242)
             log("NaN loss — aborting training")
@@ -490,19 +525,32 @@ def train_task(engine: Engine, job: TrainJob, state: TrainState,
                                   "epoch": epoch, "val_acc": val_acc})
             if job.save_models_mode:
                 io.save(best_model, best_path)
+                # memory telemetry next to every best model
+                # (ref:src/methods/Finetune/train_SGD.py:142-144 pickles
+                # cuda_mem_req next to the checkpoint)
+                from clsurvey_tpu.utils import timing
+                timing.save_mem_req(job.exp_dir)
         else:
             val_beat_counts += 1
 
         if job.save_models_mode and (epoch % job.saving_freq == 0
                                      or epoch == job.num_epochs - 1):
-            io.save({
-                "epoch": epoch, "lr": lr, "best_acc": best_acc,
-                "val_beat_counts": val_beat_counts,
-                "trainable": io.to_host(state.trainable),
-                "batch_stats": io.to_host(state.batch_stats),
-                "momentum": io.to_host(state.momentum),
-                "mstate": io.to_host(state.mstate),
-            }, ckpt_path)
+            meta = {"epoch": epoch, "lr": lr, "best_acc": best_acc,
+                    "val_beat_counts": val_beat_counts}
+            trees = {"trainable": io.to_host(state.trainable),
+                     "batch_stats": io.to_host(state.batch_stats),
+                     "momentum": io.to_host(state.momentum),
+                     "mstate": io.to_host(state.mstate)}
+            # Orbax is the native path for the (large) resume state; the
+            # small pickle keeps the reference-style epoch dict + pointer
+            # (SURVEY §5: pickle-compatible artifacts, Orbax internally)
+            from clsurvey_tpu.utils import orbax_io
+            if orbax_io.available():
+                orbax_dir = ckpt_path + ".orbax"
+                orbax_io.save(trees, orbax_dir)
+                io.save({**meta, "orbax_state": orbax_dir}, ckpt_path)
+            else:
+                io.save({**meta, **trees}, ckpt_path)
 
     if best_model is None:  # zero-epoch or fully-failed runs
         best_model = model_state_dict(

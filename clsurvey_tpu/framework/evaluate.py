@@ -48,12 +48,24 @@ def default_inference_eval(manager, model, ref_task: int) -> float:
     import jax
     import jax.numpy as jnp
     trainable = jax.tree_util.tree_map(jnp.asarray, trainable)
-    acc, _, _ = engine.evaluate(
+    acc, per_class_c, per_class_t = engine.evaluate(
         trainable, jax.tree_util.tree_map(jnp.asarray,
                                           model.get("batch_stats", {})),
         jnp.asarray(task_data.test.images), jnp.asarray(
             task_data.test.labels),
         manager.args.batch_size)
+    # per-class counters: printed by the reference per eval
+    # (ref:src/framework/inference.py:60-80) and stashed for the result
+    # dict's 'seq_per_class' entry
+    with np.errstate(invalid="ignore"):
+        per_class_acc = per_class_c / np.maximum(per_class_t, 1)
+    manager.extras["last_per_class"] = {
+        "correct": per_class_c.astype(int).tolist(),
+        "total": per_class_t.astype(int).tolist(),
+    }
+    shown = ", ".join(f"{a:.2f}" for a in
+                      per_class_acc[: int(task_data.num_classes)])
+    print(f"    per-class acc: [{shown}]")
     return acc
 
 
@@ -66,8 +78,10 @@ def eval_task_steps_accuracy(args, manager, ref_task: int,
     never set in the reference either, eval.py:214,239-240)."""
     seq_res: list = []
     seq_head_acc: list = []
+    seq_per_class: list = []
     for trained_idx in range(ref_task, len(model_paths) + 1):
         model_path = model_paths[trained_idx - 1]
+        manager.extras.pop("last_per_class", None)
         if hasattr(manager.method, "inference_eval"):
             acc = manager.method.inference_eval(
                 manager, model_path, ref_task, trained_idx)
@@ -77,7 +91,9 @@ def eval_task_steps_accuracy(args, manager, ref_task: int,
                 else model_path, ref_task)
         print(f"  ref_task {ref_task} @ model {trained_idx}: acc={acc:.4f}")
         seq_res.append(acc * 100.0)  # reference stores percentages
-    return {"seq_res": seq_res, "seq_head_acc": seq_head_acc}
+        seq_per_class.append(manager.extras.pop("last_per_class", None))
+    return {"seq_res": seq_res, "seq_head_acc": seq_head_acc,
+            "seq_per_class": seq_per_class}
 
 
 def eval_all_models_all_tasks(args, manager, model_paths: list,
@@ -91,7 +107,7 @@ def eval_all_models_all_tasks(args, manager, model_paths: list,
             res["seq_forgetting"] = [first - acc
                                      for acc in res["seq_res"][1:]]
             out = {manager.method.eval_name: res}
-            io.save(out, os.path.join(
+            io.save_compat(out, os.path.join(
                 out_dir,
                 f"test_method_performances{manager.method.eval_name}"
                 f"{ref_task}.pth"))
@@ -143,7 +159,7 @@ def eval_single_model_all_tasks(args, manager, model_path, out_dir: str
             n_counter_classes=int(np.max(counts)))
         res = {"seq_res": [acc * 100.0], "seq_forgetting": [],
                "seq_head_acc": []}
-        io.save({manager.method.eval_name: res}, os.path.join(
+        io.save_compat({manager.method.eval_name: res}, os.path.join(
             out_dir, f"test_method_performances"
             f"{manager.method.eval_name}{ref_task}.pth"))
         results.append(res)

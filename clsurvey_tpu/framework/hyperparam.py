@@ -48,9 +48,11 @@ class HyperparameterFramework:
         self.attempts = state["attempts"]
 
     def _save_chkpt(self, exp_dir, threshold, val_acc):
-        io.save({"acc_threshold": threshold, "val_acc": val_acc,
-                 "state": self._get_state()},
-                os.path.join(exp_dir, HYPERPARAMS_CKPT_FILENAME))
+        # torch.save format: the reference's postprocessing reads this
+        # file with torch.load (main_postprocessing.py:322-330)
+        io.save_compat({"acc_threshold": threshold, "val_acc": val_acc,
+                        "state": self._get_state()},
+                       os.path.join(exp_dir, HYPERPARAMS_CKPT_FILENAME))
 
     def _load_chkpt(self, exp_dir) -> bool:
         path = os.path.join(exp_dir, HYPERPARAMS_CKPT_FILENAME)

@@ -196,6 +196,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--debug", action="store_true")
     p.add_argument("--profile", action="store_true")
     p.add_argument("--cleanup_exp", action="store_true")
+    p.add_argument("--test_overwrite_mode", action="store_true",
+                   help="recompute eval artifacts / IMM merge caches even "
+                        "if present (ref:src/framework/main.py:37)")
+    p.add_argument("--grid_storage_policy", default="only_keep_best",
+                   choices=("all", "only_keep_best", "keep_none"),
+                   help="Phase-1 LR-grid model retention "
+                        "(ref:src/framework/lr_grid_train.py StoragePolicy)")
     return p
 
 

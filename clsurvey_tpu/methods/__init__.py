@@ -7,54 +7,30 @@ from clsurvey_tpu.methods.base import Category, Method, UpdateRule  # noqa: F401
 
 def parse(method_name: str) -> Method:
     """String -> Method object; IMM parses its mode from the name
-    (``mean_IMM`` / ``mode_IMM``)."""
+    (``mean_IMM`` / ``mode_IMM``).
+
+    Imports are direct on purpose: a broken method module must crash with
+    its real traceback, not masquerade as "Method not yet parseable"."""
+    from clsurvey_tpu.methods.ebll import EBLL
     from clsurvey_tpu.methods.finetune import Finetune, Joint
+    from clsurvey_tpu.methods.hat import HAT
+    from clsurvey_tpu.methods.lwf import LWF
+    from clsurvey_tpu.methods.packnet import PackNet
+    from clsurvey_tpu.methods.pathnet import PathNet
+    from clsurvey_tpu.methods.reg_based import EWC, MAS, SI
+    from clsurvey_tpu.methods.rehearsal import (
+        GEM, ICARL, FinetuneRehearsalFullMem, FinetuneRehearsalPartialMem)
 
     exact = {
         Finetune().name: Finetune,
         Joint().name: Joint,
+        "EWC": EWC, "MAS": MAS, "SI": SI,
+        "LWF": LWF, "EBLL": EBLL,
+        "GEM": GEM, "ICARL": ICARL,
+        "finetuning_rehearsal_full_mem": FinetuneRehearsalFullMem,
+        "finetuning_rehearsal_partial_mem": FinetuneRehearsalPartialMem,
+        "packnet": PackNet, "HAT": HAT, "pathnet": PathNet,
     }
-    try:
-        from clsurvey_tpu.methods.reg_based import EWC, MAS, SI
-        exact.update({"EWC": EWC, "MAS": MAS, "SI": SI})
-    except ImportError:
-        pass
-    try:
-        from clsurvey_tpu.methods.lwf import LWF
-        exact.update({"LWF": LWF})
-    except ImportError:
-        pass
-    try:
-        from clsurvey_tpu.methods.ebll import EBLL
-        exact.update({"EBLL": EBLL})
-    except ImportError:
-        pass
-    try:
-        from clsurvey_tpu.methods.rehearsal import (
-            GEM, ICARL, FinetuneRehearsalFullMem, FinetuneRehearsalPartialMem)
-        exact.update({
-            "GEM": GEM, "ICARL": ICARL,
-            "finetuning_rehearsal_full_mem": FinetuneRehearsalFullMem,
-            "finetuning_rehearsal_partial_mem": FinetuneRehearsalPartialMem,
-        })
-    except ImportError:
-        pass
-    try:
-        from clsurvey_tpu.methods.packnet import PackNet
-        exact.update({"packnet": PackNet})
-    except ImportError:
-        pass
-    try:
-        from clsurvey_tpu.methods.hat import HAT
-        exact.update({"HAT": HAT})
-    except ImportError:
-        pass
-    try:
-        from clsurvey_tpu.methods.pathnet import PathNet
-        exact.update({"pathnet": PathNet})
-    except ImportError:
-        pass
-
     if method_name in exact:
         return exact[method_name]()
 

@@ -260,6 +260,43 @@ def compute_mask_back(model, params, mask_pre, input_size):
     return out
 
 
+def capacity_report(model, params, task: int, smax: float,
+                    mask_back=None, log=print) -> dict:
+    """Per-layer gate/capacity summary (ref:vgg_hat.py:129-256
+    premask_summary + backmask_summary): embedding mean/std, saturated-gate
+    counts (<0.1 / >0.9) for the current task, and — when mask_back is
+    given — the % of weight capacity still trainable per layer."""
+    report = {}
+    log("=" * 70)
+    log(f"Task {task}: HAT CAPACITY SUMMARY (smax={smax})")
+    for name in sorted(params):
+        if not name.startswith("emb_"):
+            continue
+        emb = np.asarray(params[name][task])
+        gates = 1.0 / (1.0 + np.exp(-smax * emb))
+        stats = {"emb_mean": float(emb.mean()), "emb_std": float(emb.std()),
+                 "gates_off": int((gates < 0.1).sum()),
+                 "gates_on": int((gates > 0.9).sum()), "units": emb.size}
+        report[name] = stats
+        log(f"  {name}: u={stats['emb_mean']:.4f} std={stats['emb_std']:.4f}"
+            f" gates<0.1: {stats['gates_off']}/{stats['units']}"
+            f" gates>0.9: {stats['gates_on']}/{stats['units']}")
+    if mask_back is not None:
+        caps = []
+        for name, leaf in mask_back.items():
+            if not isinstance(leaf, dict):
+                continue
+            cap = 100.0 * float(np.asarray(leaf["kernel"]).mean())
+            caps.append(cap)
+            report[f"capacity_left/{name}"] = cap
+            log(f"  capacity left {name}: {cap:.1f}%")
+        if caps:
+            report["capacity_left/avg"] = float(np.mean(caps))
+            log(f"  capacity left avg: {np.mean(caps):.1f}%")
+    log("=" * 70)
+    return report
+
+
 def sparsity_reg(masks, mask_pre):
     """ref:hat.py:285-299."""
     if mask_pre is None:
@@ -562,6 +599,9 @@ class HAT(Method):
             model_mod, params, t, smax)
         mask_back = None if finetune_mode else compute_mask_back(
             model_mod, params, mask_pre, manager.model_spec.input_size)
+        if not finetune_mode:
+            capacity_report(model_mod, params, t, smax, mask_back,
+                            log=manager.log)
         engine = HATEngine(
             model_mod, manager.model_spec, t,
             np.asarray(model["heads"]["class_counts"]),

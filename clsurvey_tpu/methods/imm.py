@@ -79,6 +79,11 @@ class IMM(Method):
     def eval_model_preprocessing(self, args, manager, model_paths):
         """Create + save merged models for every prefix 1..k; returns their
         paths (first model passes through unmerged)."""
+        import time
+
+        from clsurvey_tpu.utils import timing
+
+        t0 = time.perf_counter()
         models = [io.load(p) if isinstance(p, str) else p
                   for p in model_paths]
         merged_paths = [model_paths[0]]
@@ -98,6 +103,12 @@ class IMM(Method):
                     merged = merge_mode(models[:k], precisions[:k])
                 io.save(merged, out_path)
             merged_paths.append(out_path)
+        # merge/Fisher preprocessing time per exp
+        # (ref:src/utilities/utils.py:100-105)
+        if len(models) > 1:
+            timing.save_preprocessing_time(
+                os.path.dirname(model_paths[-1]),
+                time.perf_counter() - t0)
         return merged_paths
 
     def _precisions(self, args, manager, model_paths, models):

@@ -43,6 +43,17 @@ from clsurvey_tpu.utils import io
 from clsurvey_tpu.utils.paths import BEST_MODEL_FILENAME
 
 
+def _stacked(base_init):
+    """Init an (M, ...)-stacked module bank as M independent layers: fan
+    computation must see the per-module shape, not the stacked one (the
+    reference creates M separate torch layers, each with standalone init;
+    variance_scaling over the 5D stack makes weights sqrt(M) too small)."""
+    def init(key, shape, dtype=jnp.float32):
+        keys = jax.random.split(key, shape[0])
+        return jnp.stack([base_init(k, shape[1:], dtype) for k in keys])
+    return init
+
+
 class PathNetVGG(nn.Module):
     """Stacked-module VGG. Layer widths are divided by M
     (ref:vgg_pathnet.py:36-90)."""
@@ -69,7 +80,8 @@ class PathNetVGG(nn.Module):
             pool_after = ci + 1 < len(cfg) and cfg[ci + 1] == "M"
             out_w = max(int(v) // self.M, 1)
             in_w = x.shape[-1]
-            kernel = self.param(f"conv_{conv_idx}_kernel", conv_init,
+            kernel = self.param(f"conv_{conv_idx}_kernel",
+                                _stacked(conv_init),
                                 (self.M, 3, 3, in_w, out_w), jnp.float32)
             bias = self.param(f"conv_{conv_idx}_bias",
                               nn.initializers.zeros,
@@ -84,7 +96,7 @@ class PathNetVGG(nn.Module):
         for j, d in enumerate(self.classifier_dims):
             out_w = max(int(d) // self.M, 1)
             in_w = x.shape[-1]
-            kernel = self.param(f"fc_{j}_kernel", kinit,
+            kernel = self.param(f"fc_{j}_kernel", _stacked(kinit),
                                 (self.M, in_w, out_w), jnp.float32)
             bias = self.param(f"fc_{j}_bias", nn.initializers.zeros,
                               (self.M, out_w), jnp.float32)
@@ -168,7 +180,7 @@ class PathNetAlexNet(nn.Module):
             (lambda i: None)
         for i, (out_w, k, dr) in enumerate(zip(convs, ksizes, drops)):
             in_w = x.shape[-1]
-            kernel = self.param(f"conv_{i}_kernel", conv_init,
+            kernel = self.param(f"conv_{i}_kernel", _stacked(conv_init),
                                 (self.M, k, k, in_w, out_w), jnp.float32)
             bias = self.param(f"conv_{i}_bias", nn.initializers.zeros,
                               (self.M, out_w), jnp.float32)
@@ -179,7 +191,7 @@ class PathNetAlexNet(nn.Module):
         x = x.reshape((x.shape[0], -1))
         for j, out_w in enumerate(fcs):
             in_w = x.shape[-1]
-            kernel = self.param(f"fc_{j}_kernel", dense_init,
+            kernel = self.param(f"fc_{j}_kernel", _stacked(dense_init),
                                 (self.M, in_w, out_w), jnp.float32)
             bias = self.param(f"fc_{j}_bias", nn.initializers.zeros,
                               (self.M, out_w), jnp.float32)
@@ -379,7 +391,10 @@ class PathNet(Method):
         paths = np.zeros((self.P, L, N), np.int32)
         for p in range(self.P):
             for l in range(L):
-                paths[p, l] = rng.permutation(M)[:N]
+                # distinct modules while they fit; with repetition once the
+                # decay operator has grown N past M (the reference indexes
+                # module lists with arbitrary ints, repeats allowed)
+                paths[p, l] = rng.choice(M, N, replace=N > M)
 
         trainable = {
             "params": params,

@@ -142,7 +142,17 @@ class _RegMethodBase(Method):
     def train(self, args, manager, hyperparams):
         cache_key = ("reg_prep", self.name, manager.task_counter)
         if cache_key not in manager.extras:
+            import time
+
+            from clsurvey_tpu.utils import timing
+
+            t0 = time.perf_counter()
             manager.extras[cache_key] = self._prepare(args, manager)
+            # preprocessing-time telemetry per exp
+            # (ref:src/utilities/utils.py:100-105, caller main_EWC.py:43-46)
+            timing.save_preprocessing_time(
+                manager.extras["heuristic_exp_dir"],
+                time.perf_counter() - t0)
         omega, theta_star, extra = manager.extras[cache_key]
         rule = self.make_update_rule()
         exp_dir = manager.extras["heuristic_exp_dir"]

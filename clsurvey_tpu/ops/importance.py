@@ -43,6 +43,13 @@ def _batched_indices(n: int, batch_size: int):
             jnp.asarray(w.reshape(n_batches, batch_size)))
 
 
+# jitted estimator cache: flax modules hash by config, so identical
+# (backbone, task, shapes) across tasks/calls reuse one compiled scan
+# instead of recompiling per call (each `@jax.jit def run` wrapper is a
+# fresh cache)
+_RUN_CACHE: dict = {}
+
+
 def ewc_fisher(ctx, params, batch_stats, heads_bank, task: int,
                images_u8, labels, batch_size: int):
     """Diagonal Fisher over a dataset; returns a pytree like ``params``.
@@ -52,30 +59,49 @@ def ewc_fisher(ctx, params, batch_stats, heads_bank, task: int,
     n = int(images_u8.shape[0])
     idx, w = _batched_indices(n, batch_size)
     zero_rng = jax.random.PRNGKey(0)
+    import numpy as _np
 
-    def batch_loss(p, x, y, wgt):
-        feats, _ = ctx.forward_feats(p, batch_stats, x, False, zero_rng)
-        from clsurvey_tpu.models import heads as heads_lib
+    class_counts = _np.asarray(heads_bank["class_counts"])
+    key = ("ewc", ctx.backbone, task, tuple(images_u8.shape), batch_size,
+           ctx.mean, ctx.std, bool(batch_stats), tuple(class_counts))
+    run = _RUN_CACHE.get(key)
+    if run is None:
+        def run_impl(params, batch_stats, kernel, bias,
+                     images_u8, labels, idx, w):
+            from clsurvey_tpu.engine.train import gather_rows_u8
+            from clsurvey_tpu.models import heads as heads_lib
 
-        logits = heads_lib.forward(heads_bank, feats, task)
-        losses = optax.softmax_cross_entropy_with_integer_labels(logits, y)
-        return jnp.sum(losses * wgt)
+            # class_counts stays a concrete (np) constant: heads.forward
+            # derives static mask widths from it
+            bank = {"kernel": kernel, "bias": bias,
+                    "class_counts": class_counts}
+            n_total = jnp.sum(w)
 
-    @jax.jit
-    def run(params):
-        def body(omega, inp):
-            bidx, bw = inp
-            x = pp.normalize(jnp.take(images_u8, bidx, 0), ctx.mean, ctx.std)
-            y = jnp.take(labels, bidx, 0)
-            g = jax.grad(batch_loss)(params, x, y, bw)
-            return jax.tree_util.tree_map(
-                lambda o, gi: o + gi * gi / n, omega, g), None
+            def batch_loss(p, x, y, wgt):
+                feats, _ = ctx.forward_feats(p, batch_stats, x, False,
+                                             zero_rng)
+                logits = heads_lib.forward(bank, feats, task)
+                losses = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y)
+                return jnp.sum(losses * wgt)
 
-        omega0 = jax.tree_util.tree_map(jnp.zeros_like, params)
-        omega, _ = jax.lax.scan(body, omega0, (idx, w))
-        return omega
+            def body(omega, inp):
+                bidx, bw = inp
+                x = pp.normalize(gather_rows_u8(images_u8, bidx),
+                                 ctx.mean, ctx.std)
+                y = jnp.take(labels, bidx, 0)
+                g = jax.grad(batch_loss)(params, x, y, bw)
+                return jax.tree_util.tree_map(
+                    lambda o, gi: o + gi * gi / n_total, omega, g), None
 
-    return run(params)
+            omega0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+            omega, _ = jax.lax.scan(body, omega0, (idx, w))
+            return omega
+
+        run = jax.jit(run_impl)
+        _RUN_CACHE[key] = run
+    return run(params, batch_stats, heads_bank["kernel"],
+               heads_bank["bias"], images_u8, labels, idx, w)
 
 
 def mas_importance(ctx, params, batch_stats, heads_bank, task: int,
@@ -96,35 +122,52 @@ def mas_importance(ctx, params, batch_stats, heads_bank, task: int,
     w = jnp.asarray(w.reshape(n_chunks, chunk))
     zero_rng = jax.random.PRNGKey(0)
 
-    def sample_sq_norm(p, x1):
-        feats, _ = ctx.forward_feats(p, batch_stats, x1[None], False,
-                                     zero_rng)
-        from clsurvey_tpu.models import heads as heads_lib
+    # masked head slots are a huge negative constant; the squared norm runs
+    # over the first n_valid outputs only (the reference model has exactly
+    # n_valid outputs)
+    n_valid = int(heads_bank["class_counts"][task])
+    import numpy as _np
 
-        logits = heads_lib.forward(heads_bank, feats, task)
-        # masked slots are a huge negative constant; exclude them from the
-        # norm (the reference model has exactly n_valid outputs)
-        n_valid = int(heads_bank["class_counts"][task])
-        logits = logits[:, :n_valid]
-        return jnp.sum(logits * logits)
+    key = ("mas", ctx.backbone, task, tuple(images_u8.shape), chunk,
+           ctx.mean, ctx.std, bool(batch_stats),
+           tuple(_np.asarray(heads_bank["class_counts"])))
+    run = _RUN_CACHE.get(key)
+    if run is None:
+        def run_impl(params, batch_stats, kernel, bias,
+                     images_u8, idx, w):
+            from clsurvey_tpu.engine.train import gather_rows_u8
+            from clsurvey_tpu.models import heads as heads_lib
 
-    per_sample_grad = jax.vmap(jax.grad(sample_sq_norm), in_axes=(None, 0))
+            bank = {"kernel": kernel, "bias": bias,
+                    "class_counts": _np.asarray(heads_bank["class_counts"])}
+            n_total = jnp.sum(w)
 
-    @jax.jit
-    def run(params):
-        def body(acc, inp):
-            cidx, cw = inp
-            x = pp.normalize(jnp.take(images_u8, cidx, 0), ctx.mean, ctx.std)
-            g = per_sample_grad(params, x)
-            return jax.tree_util.tree_map(
-                lambda a, gi: a + jnp.tensordot(cw, jnp.abs(gi), axes=1) / n,
-                acc, g), None
+            def sq_norm(p, x1):
+                feats, _ = ctx.forward_feats(p, batch_stats, x1[None],
+                                             False, zero_rng)
+                logits = heads_lib.forward(bank, feats, task)
+                return jnp.sum(logits[:, :n_valid] ** 2)
 
-        acc0 = jax.tree_util.tree_map(jnp.zeros_like, params)
-        omega, _ = jax.lax.scan(body, acc0, (idx, w))
-        return omega
+            psg = jax.vmap(jax.grad(sq_norm), in_axes=(None, 0))
 
-    return run(params)
+            def body(acc, inp):
+                cidx, cw = inp
+                x = pp.normalize(gather_rows_u8(images_u8, cidx),
+                                 ctx.mean, ctx.std)
+                g = psg(params, x)
+                return jax.tree_util.tree_map(
+                    lambda a, gi: a + jnp.tensordot(cw, jnp.abs(gi),
+                                                    axes=1) / n_total,
+                    acc, g), None
+
+            acc0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+            omega, _ = jax.lax.scan(body, acc0, (idx, w))
+            return omega
+
+        run = jax.jit(run_impl)
+        _RUN_CACHE[key] = run
+    return run(params, batch_stats, heads_bank["kernel"],
+               heads_bank["bias"], images_u8, idx, w)
 
 
 def imm_mode_fisher(ctx, params, batch_stats, heads_bank, task: int,

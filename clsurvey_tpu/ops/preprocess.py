@@ -50,6 +50,12 @@ def preprocess(rng: jax.Array, images_u8: jnp.ndarray, mean, std,
 # Pallas fused kernel: uint8 -> normalized dtype in one VMEM pass.
 # (Horizontal flip stays an XLA `rev` outside the kernel — Mosaic has no
 # reverse primitive; XLA fuses the flip with the surrounding ops anyway.)
+#
+# Layout: a (B,H,W,3) VMEM block would pad the 3-channel lane dim to 128
+# (~42x memory blowup — measured VMEM OOM at bs=200/64px). The kernel
+# therefore works on the flattened (B, H*W*3) view, whose last dim is a
+# multiple of 128 for all benchmark shapes, with the per-channel
+# scale/shift pre-tiled to full rows.
 # ---------------------------------------------------------------------------
 
 def _norm_kernel(img_ref, scale_ref, shift_ref, out_ref):
@@ -63,23 +69,48 @@ def _norm_kernel(img_ref, scale_ref, shift_ref, out_ref):
 def normalize_pallas(images_u8: jnp.ndarray, scale: jnp.ndarray,
                      shift: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Fused u8->dtype normalization. ``scale``/``shift`` are (3,) f32
-    (precomputed 1/(255*std) and mean/std)."""
+    (precomputed 1/(255*std) and mean/std). Gridded over the batch so VMEM
+    holds one ~4MB block at a time."""
     import jax as _jax
 
-    return pl.pallas_call(
+    b, h, w, c = images_u8.shape
+    n = h * w * c
+    if n % 128:  # odd spatial sizes: let XLA handle it
+        x = images_u8.astype(jnp.float32) * scale - shift
+        return x.astype(dtype)
+    flat = images_u8.reshape(b, n)
+    scale_row = jnp.tile(scale, h * w)   # (n,) channel-fastest like HWC
+    shift_row = jnp.tile(shift, h * w)
+    bpe = 1 + 4 + jnp.dtype(dtype).itemsize  # u8 in + f32 compute + out
+    budget_bytes = 6 * 1024 * 1024
+    # lane blocking: largest divisor of n that's a multiple of 128 and
+    # <=64K lanes (Mosaic: last block dim % 128 == 0 or == n)
+    block_n = n
+    for d in range(min(n, 64 * 1024), 127, -1):
+        if n % d == 0 and d % 128 == 0:
+            block_n = d
+            break
+    # sublane blocking: divisor of b, % 8 == 0 (or == b), fits budget
+    budget_b = max(1, budget_bytes // max(block_n * bpe, 1))
+    block_b = b
+    for d in range(min(b, budget_b), 0, -1):
+        if b % d == 0 and (d % 8 == 0 or d == b):
+            block_b = d
+            break
+
+    out = pl.pallas_call(
         _norm_kernel,
         interpret=_jax.default_backend() == "cpu",
-        out_shape=jax.ShapeDtypeStruct(images_u8.shape, dtype),
-        grid=(1,),
+        out_shape=jax.ShapeDtypeStruct((b, n), dtype),
+        grid=(b // block_b, n // block_n),
         in_specs=[
-            pl.BlockSpec(images_u8.shape,
-                         lambda i: (0,) * images_u8.ndim),
-            pl.BlockSpec((3,), lambda i: (0,)),
-            pl.BlockSpec((3,), lambda i: (0,)),
+            pl.BlockSpec((block_b, block_n), lambda i, j: (i, j)),
+            pl.BlockSpec((block_n,), lambda i, j: (j,)),
+            pl.BlockSpec((block_n,), lambda i, j: (j,)),
         ],
-        out_specs=pl.BlockSpec(images_u8.shape,
-                               lambda i: (0,) * images_u8.ndim),
-    )(images_u8, scale, shift)
+        out_specs=pl.BlockSpec((block_b, block_n), lambda i, j: (i, j)),
+    )(flat, scale_row, shift_row)
+    return out.reshape(b, h, w, c)
 
 
 def preprocess_pallas(rng: jax.Array, images_u8: jnp.ndarray, mean, std,

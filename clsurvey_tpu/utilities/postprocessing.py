@@ -51,6 +51,8 @@ class ExperimentDataEntry:
     seq_acc: dict = field(default_factory=dict)        # ref task -> [acc..]
     seq_forgetting: dict = field(default_factory=dict)
     task_count: int = 0
+    # filled by collect_hyperparams(): key -> [value per task]
+    hyperparams: dict = field(default_factory=dict)
 
     def __post_init__(self):
         if not self.label:
@@ -121,6 +123,73 @@ def collect_gridsearch_exp_entries(test_results_root_path: str,
                             else eval_name))
         entries.append(collect(entry))
     return [e for e in entries if e.task_count > 0]
+
+
+def collect_hyperparams(entry: ExperimentDataEntry, method_name: str,
+                        hyperparams_selection: list | None = None,
+                        hyperparams_counts: dict | None = None) -> dict:
+    """Per-task converged hyperparameters from the TRAIN results tree
+    (``task_N/TASK_TRAINING/hyperparams.pth.tar``,
+    ref:main_postprocessing.py:318-338 + collect_hyperparams :373-392).
+    Returns the shared ``hyperparams_counts`` used for table padding."""
+    from clsurvey_tpu.utils import paths as paths_lib
+
+    counts = hyperparams_counts if hyperparams_counts is not None else {}
+    for task in range(1, max(entry.task_count, 1) + 1):
+        path = os.path.join(
+            paths_lib.get_train_results_path(
+                entry.dataset_name, method_name, entry.model_name,
+                entry.gridsearch_name, entry.exp_name, task_counter=task,
+                create=False),
+            "TASK_TRAINING", "hyperparams.pth.tar")
+        if not io.exists(path):
+            continue
+        try:
+            hdict = io.load(path)
+        except Exception:
+            continue
+        # the converged values live in state.hyperparams; flatten them plus
+        # the top-level scalars, like the reference's key iteration
+        flat = {k: v for k, v in hdict.items()
+                if not isinstance(v, dict)}
+        flat.update(hdict.get("state", {}).get("hyperparams", {}))
+        keys = hyperparams_selection or list(flat.keys())
+        for key in keys:
+            if key not in flat:
+                continue
+            entry.hyperparams.setdefault(key, []).append(flat[key])
+            counts[key] = max(counts.get(key, 0),
+                              len(entry.hyperparams[key]))
+    return counts
+
+
+def pad_hyperparams(entries: list, hyperparams_counts: dict,
+                    pad_value=0) -> None:
+    """Pad per-entry hyperparam lists to the max count so they tabulate
+    (ref:main_postprocessing.py:395-404 pad_dataframe)."""
+    for key, count in hyperparams_counts.items():
+        for e in entries:
+            vals = e.hyperparams.setdefault(key, [])
+            vals.extend([pad_value] * (count - len(vals)))
+
+
+def print_hyperparam_table(entries: list, table_sep: str = "\t") -> str:
+    """Per-method converged-hyperparameter table (the reference renders
+    this as a dataframe next to the summary,
+    ref:main_postprocessing.py:405-433)."""
+    keys = sorted({k for e in entries for k in e.hyperparams})
+    lines = [table_sep.join(["method", "exp"] + keys)]
+    for e in entries:
+        row = [e.eval_name, e.exp_name]
+        for k in keys:
+            vals = e.hyperparams.get(k, [])
+            row.append(",".join(
+                f"{v:.4g}" if isinstance(v, float) else str(v)
+                for v in vals))
+        lines.append(table_sep.join(row))
+    table = "\n".join(lines)
+    print(table)
+    return table
 
 
 def print_exp_statistics(entries: list, table_sep: str = "\t") -> str:

@@ -44,8 +44,38 @@ def save(obj: Any, path: str) -> str:
     return path
 
 
+def save_compat(obj: Any, path: str) -> str:
+    """Write a reference-pipeline-compatible artifact: ``torch.save``
+    format when torch is importable (the reference's postprocessing loads
+    these with ``torch.load``, which cannot read plain pickles), plain
+    pickle otherwise. Use for eval result dicts and hyperparams.pth.tar
+    (ref:src/framework/eval.py:176-185, framework_train.py:58-64)."""
+    try:
+        import torch
+    except ImportError:
+        return save(obj, path)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    obj = to_host(obj)
+    directory = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            torch.save(obj, f)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
 def load(path: str) -> Any:
     with open(path, "rb") as f:
+        head = f.read(4)
+        f.seek(0)
+        if head[:2] == b"PK":  # torch.save zip container
+            import torch
+
+            return torch.load(f, map_location="cpu", weights_only=False)
         return pickle.load(f)
 
 
