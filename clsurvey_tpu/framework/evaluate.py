@@ -100,17 +100,33 @@ def eval_all_models_all_tasks(args, manager, model_paths: list,
                               out_dir: str) -> list:
     results = []
     for ref_task in range(1, len(model_paths) + 1):
+        # the reference names artifacts by 0-based dataset_index
+        # (ref:src/utilities/utils.py:220-228 get_perf_output_filename)
+        out_path = os.path.join(
+            out_dir, f"test_method_performances"
+            f"{manager.method.eval_name}{ref_task - 1}.pth")
+        if (not getattr(args, "test_overwrite_mode", False)
+                and not getattr(args, "debug", False)
+                and os.path.exists(out_path)):
+            # safety check (ref:src/framework/eval.py:161-164)
+            print("EVAL already done, can only rerun in overwrite mode")
+            break
         try:
             res = eval_task_steps_accuracy(args, manager, ref_task,
                                            model_paths)
             first = res["seq_res"][0]
             res["seq_forgetting"] = [first - acc
                                      for acc in res["seq_res"][1:]]
-            out = {manager.method.eval_name: res}
-            io.save_compat(out, os.path.join(
-                out_dir,
-                f"test_method_performances{manager.method.eval_name}"
-                f"{ref_task}.pth"))
+            # reference shape: seq_res/seq_forgetting are one-key dicts
+            # {dataset_index: [...]} (ref:src/framework/eval.py:204-214,
+            # 178-180); seq_head_acc stays a flat list
+            out = {manager.method.eval_name: {
+                "seq_res": {ref_task - 1: res["seq_res"]},
+                "seq_forgetting": {ref_task - 1: res["seq_forgetting"]},
+                "seq_head_acc": res["seq_head_acc"],
+                "seq_per_class": res["seq_per_class"],
+            }}
+            io.save_compat(out, out_path)
             results.append(res)
         except Exception as e:
             print(f"EVAL ERROR task {ref_task}: {e}")
@@ -141,6 +157,7 @@ def eval_single_model_all_tasks(args, manager, model_path, out_dir: str
                   "bias": model["heads"]["bias"]}})
     batch_stats = jax.tree_util.tree_map(
         jnp.asarray, model.get("batch_stats", {}))
+    seq_res: list = []
     for ref_task in range(1, manager.dataset.task_count + 1):
         td = manager.dataset.get_task_dataset(ref_task)
         ncls = td.num_classes
@@ -157,14 +174,17 @@ def eval_single_model_all_tasks(args, manager, model_path, out_dir: str
             jnp.asarray(td.test.labels + lo), args.batch_size,
             predict=predict,
             n_counter_classes=int(np.max(counts)))
-        res = {"seq_res": [acc * 100.0], "seq_forgetting": [],
-               "seq_head_acc": []}
-        io.save_compat({manager.method.eval_name: res}, os.path.join(
-            out_dir, f"test_method_performances"
-            f"{manager.method.eval_name}{ref_task}.pth"))
-        results.append(res)
+        seq_res.append(acc * 100.0)
+        results.append({"seq_res": [acc * 100.0], "seq_forgetting": [],
+                        "seq_head_acc": []})
         offset += ncls
         print(f"  JOINT ref_task {ref_task}: acc={acc:.4f}")
+    # single full-batch artifact, the reference's Joint format
+    # (ref:src/framework/eval.py:116-141 + utils.py:225-226)
+    io.save_compat(
+        {manager.method.eval_name: {"seq_res": seq_res}},
+        os.path.join(out_dir, "test_method_performancesJOINT_FULL_BATCH"
+                              ".pth"))
     return results
 
 

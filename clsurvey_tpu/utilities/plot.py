@@ -1,54 +1,185 @@
-"""Horizontally-stacked per-task accuracy curves
+"""Horizontally-stacked per-task accuracy curves, reference visual design
 (ref:src/utilities/plot.py:10-246 ``plot_line_horizontal_sequence``).
 
-One subplot per reference task; each method contributes a curve of that
-task's accuracy as later models are trained (x = training step in the task
-sequence)."""
+All task panels share ONE axis: panel ``i`` (showing reference task ``t``)
+is drawn shifted right by ``i * taskcount + t`` so each curve starts at the
+x position of the task that produced its first model.  Panels get a
+whitesmoke background span, per-task minor gridlines labeled ``T<t>``, a
+twin top axis labeled "Evaluation on Task", and an expanded multi-column
+legend.  Per-curve colors / linestyles / markers come from the entries
+(set by family in utilities/postprocessing.py, mirroring
+ref:src/utilities/main_postprocessing.py:83-151); "single dot" entries
+(Joint) plot only their final point (ref:plot.py:68-71).
+"""
 
 from __future__ import annotations
+
+import numpy as np
 
 import matplotlib
 
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
+# panels shown when the sequence is longer than 10 tasks
+# (ref:src/utilities/plot.py:38)
+_LONG_SEQ_PANELS = (0, 4, 9, 14, 19)
+
+
+def _entry_style(e, idx: int):
+    """Fetch per-curve style with defaults for plain entries."""
+    return dict(
+        color=getattr(e, "color", f"C{idx % 10}"),
+        linestyle=getattr(e, "linestyle", "-"),
+        marker=getattr(e, "marker", "o"),
+        markersize=getattr(e, "markersize", 3),
+        single_dot=bool(getattr(e, "single_dot", False)),
+    )
+
 
 def plot_line_horizontal_sequence(entries, save_img_path: str,
                                   metric: str = "acc", ylim=None,
-                                  figsize_per_task: float = 2.6):
-    task_count = max(e.task_count for e in entries)
-    fig, axes = plt.subplots(
-        1, task_count, sharey=True,
-        figsize=(figsize_per_task * task_count, 3.2))
-    if task_count == 1:
-        axes = [axes]
-    for ref_task in range(1, task_count + 1):
-        ax = axes[ref_task - 1]
-        for e in entries:
-            data = (e.seq_acc if metric == "acc"
-                    else e.seq_forgetting).get(ref_task)
+                                  legend: str = "top",
+                                  labelmode: str = "minor",
+                                  start_y_zero: bool = False,
+                                  taskcount: int | None = None,
+                                  ylabel: str | None = None,
+                                  xlabel: str = "Training Sequence Per Task",
+                                  figsize: tuple = (20, 8),
+                                  figsize_per_task: float | None = None,
+                                  dpi: int = 120):
+    """Render the stacked-panel figure for a list of
+    ``ExperimentDataEntry``-like objects.
+
+    :param metric: 'acc' (seq_acc) or 'forgetting' (seq_forgetting)
+    :param legend: 'top' (above the axes) or anything else (below)
+    :param labelmode: 'minor' labels each panel's own task tick;
+        'major' labels panel centers T1 (ref:plot.py:117-148)
+    :param taskcount: panel width; defaults to the longest sequence
+    """
+    entries = [e for e in entries if getattr(e, "task_count", 0) > 0]
+    if not entries:
+        raise ValueError("no collected entries to plot")
+    T = taskcount or max(e.task_count for e in entries)
+    task_idxs = (list(range(T)) if T <= 10 else
+                 [t for t in _LONG_SEQ_PANELS if t < T])
+    if figsize_per_task:  # back-compat: width scales with panel count
+        figsize = (figsize_per_task * len(task_idxs) * 1.4, figsize[1] * 0.6)
+
+    fig, ax = plt.subplots(figsize=figsize)
+    minor_pos, major_pos = [], []
+    for i, t in enumerate(task_idxs):
+        shift = i * T + t
+        for idx, e in enumerate(entries):
+            series = (e.seq_acc if metric == "acc" else e.seq_forgetting)
+            data = series.get(t + 1)  # entries key ref tasks 1-based
             if not data:
                 continue
-            x = list(range(ref_task, ref_task + len(data)))
-            ax.plot(x, data, label=e.label, color=e.color, marker="o",
-                    markersize=3, linewidth=1.2)
-        ax.set_title(f"Task {ref_task}")
-        ax.set_xlabel("trained task")
-        ax.set_xticks(list(range(ref_task, task_count + 1)))
-        if ylim:
-            ax.set_ylim(*ylim)
-        ax.grid(alpha=0.3)
-    axes[0].set_ylabel("accuracy (%)" if metric == "acc"
-                       else "forgetting (%)")
-    handles, labels = axes[0].get_legend_handles_labels()
-    if not handles:
-        for ax in axes:
-            handles, labels = ax.get_legend_handles_labels()
-            if handles:
-                break
-    fig.legend(handles, labels, loc="upper center",
-               ncol=min(len(labels), 6), frameon=False)
-    fig.tight_layout(rect=(0, 0, 1, 0.9))
-    fig.savefig(save_img_path, dpi=150)
+            st = _entry_style(e, idx)
+            x = np.arange(len(data)) + shift
+            y = np.asarray(data, dtype=float)
+            if st["single_dot"]:  # e.g. Joint: final point only
+                x, y, st["markersize"] = x[-1:], y[-1:], 12
+            ax.plot(x, y, color=st["color"], linestyle=st["linestyle"],
+                    marker=st["marker"], markersize=st["markersize"],
+                    linewidth=1.5,
+                    label=(e.label if i == 0 else None))
+        # panel background + gridline anchors (ref:plot.py:88-106)
+        ax.axvspan(i * T + 0.1, (i + 1) * T - 0.1,
+                   facecolor="whitesmoke", alpha=1.0)
+        minor_pos.append(shift)
+        major_pos.append(int(i * T + T / 2 - 4))
+
+    panel_labels = [f"T{t + 1}" for t in task_idxs]
+    if labelmode == "major":
+        ax.set_xticks(major_pos)
+        ax.set_xticklabels(["T1"] * len(major_pos))
+    else:  # 'minor' default: label each panel's own-task tick
+        ax.set_xticks(minor_pos, minor=True)
+        ax.set_xticklabels(panel_labels, minor=True)
+        ax.set_xticks(major_pos, minor=False)
+        ax.set_xticklabels([], minor=False)
+    ax.tick_params(axis="y", which="major", labelsize=18)
+    ax.tick_params(axis="x", which="minor", labelsize=16)
+    ax.tick_params(axis="x", which="major", labelsize=16, length=0)
+    ax.xaxis.grid(True, linestyle="--", alpha=0.4, which="minor")
+    ax.xaxis.grid(True, linestyle="-", alpha=0.8, which="major",
+                  color="white")
+    ax.set_xlim(-1, len(task_idxs) * T + 1)
+    if ylim is not None:
+        ax.set_ylim(top=ylim[1] if isinstance(ylim, (tuple, list))
+                    else ylim)
+        if isinstance(ylim, (tuple, list)):
+            ax.set_ylim(bottom=ylim[0])
+    if start_y_zero:
+        ax.set_ylim(bottom=0)
+    if ylabel is None:
+        ylabel = ("Accuracy %" if metric == "acc" else "Forgetting %")
+    ax.set_xlabel(xlabel, fontsize=19, labelpad=5)
+    ax.set_ylabel(ylabel, fontsize=19, labelpad=5)
+
+    # legend: expanded multi-column strip above or below (ref:plot.py:172-189)
+    anchor = ((0.0, 1.20, 1.0, 0.1) if legend == "top"
+              else (0.0, -0.36, 1.0, -0.136))
+    leg = ax.legend(bbox_to_anchor=anchor, loc="upper center", ncol=4,
+                    prop={"size": 16}, mode="expand", fancybox=True)
+    if leg is not None:
+        handles = getattr(leg, "legend_handles",
+                          getattr(leg, "legendHandles", []))
+        for idx, handle in enumerate(handles):
+            single = (idx < len(entries)
+                      and bool(getattr(entries[idx], "single_dot", False)))
+            handle.set_linewidth(0.0 if single else 2.0)
+
+    # twin top axis: which task each panel evaluates (ref:plot.py:191-208)
+    ax_top = ax.twiny()
+    ax_top.set_xlim(*ax.get_xlim())
+    ax_top.set_xticks([p + 5 for p in major_pos])
+    ax_top.set_xticklabels(panel_labels)
+    ax_top.tick_params(axis="both", which="both", length=0)
+    ax_top.tick_params(axis="x", which="major", labelsize=16)
+    ax_top.set_xlabel("Evaluation on Task", fontsize=19, labelpad=10)
+
+    fig.savefig(save_img_path, dpi=dpi, bbox_inches="tight")
+    plt.close(fig)
+    return save_img_path
+
+
+def save_image_grid(images, save_img_path: str, labels=None,
+                    denormalize: bool = False,
+                    mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+                    ncol: int = 8, title: str | None = None):
+    """Save a grid of images — the exemplar visual check
+    (ref:src/utilities/plot.py:223-246 ``imshow_tensor``; caller
+    ref:src/methods/rehearsal/model/gem.py:375-387 dumps rehearsal-memory
+    samples for manual inspection).
+
+    :param images: (N,H,W,3) uint8 or float array (NHWC — our resident
+        memory layout, not torch's CHW)
+    :param denormalize: undo ImageNet normalization for float inputs
+    """
+    images = np.asarray(images)
+    if images.dtype == np.uint8:
+        images = images.astype(np.float32) / 255.0
+    elif denormalize:
+        images = images * np.asarray(std) + np.asarray(mean)
+    images = np.clip(images, 0.0, 1.0)
+    n = images.shape[0]
+    ncol = min(ncol, max(n, 1))
+    nrow = (n + ncol - 1) // ncol
+    fig, axes = plt.subplots(nrow, ncol,
+                             figsize=(1.6 * ncol, 1.6 * nrow + 0.4),
+                             squeeze=False)
+    for i in range(nrow * ncol):
+        axi = axes[i // ncol][i % ncol]
+        axi.axis("off")
+        if i < n:
+            axi.imshow(images[i])
+            if labels is not None:
+                axi.set_title(str(labels[i]), fontsize=8)
+    if title:
+        fig.suptitle(title)
+    fig.tight_layout()
+    fig.savefig(save_img_path, dpi=100)
     plt.close(fig)
     return save_img_path

@@ -1,15 +1,18 @@
 """Result postprocessing — summary metrics + plot data collection.
 
 Consumes the eval result dicts written by framework/evaluate.py
-(``test_method_performances<eval_name><i>.pth`` with
-``{eval_name: {seq_res, seq_forgetting, seq_head_acc}}``) — the same shapes
-the reference's pipeline reads (ref:src/utilities/main_postprocessing.py:
-12-41,261-360) — and produces:
+(``test_method_performances<eval_name><i>.pth``, ``i`` 0-based like the
+reference's ``get_perf_output_filename``, ref:src/utilities/utils.py:220-228;
+Joint's single ``test_method_performancesJOINT_FULL_BATCH.pth``) and
+produces:
 
 - per-method final-model average accuracy and average forgetting (the
-  survey's summary table, ref:main_postprocessing.py:175-187);
+  survey's summary table, ref:src/utilities/main_postprocessing.py:175-187);
+- the converged-hyperparameter table (ref:main_postprocessing.py:373-409);
 - per-ref-task accuracy curves for the horizontally-stacked plots
-  (utilities/plot.py).
+  (utilities/plot.py), with per-family colors / linestyles / markers
+  (ref:main_postprocessing.py:83-151) and Joint rendered as a single final
+  dot with a repeated-value curve (ref:main_postprocessing.py:363-370).
 """
 
 from __future__ import annotations
@@ -21,9 +24,11 @@ import numpy as np
 
 from clsurvey_tpu.utils import io
 
+JOINT_FULL_BATCH_FILENAME = "test_method_performancesJOINT_FULL_BATCH.pth"
+
 METHOD_COLORS = {
     # per-method plot colors (family-grouped like the reference,
-    # ref:main_postprocessing.py:83-152)
+    # ref:main_postprocessing.py:83-128)
     "SI": "tab:blue", "EWC": "tab:cyan", "MAS": "tab:purple",
     "mean_IMM": "navy", "mode_IMM": "royalblue",
     "LWF": "tab:green", "EBLL": "darkgreen",
@@ -33,6 +38,45 @@ METHOD_COLORS = {
     "finetuning_rehearsal_partial_mem": "silver",
     "finetuning_rehearsal_full_mem": "dimgray",
 }
+
+# extra distinct colors when forcing all-different colors
+# (ref:main_postprocessing.py:412-422 get_colors)
+_FALLBACK_COLORS = ["C0", "C2", "C1", "C4", "C6", "C7", "C3", "C9", "C8",
+                    "C5", "teal", "olive", "maroon", "indigo", "crimson",
+                    "slategray"]
+
+
+def get_colors(n: int) -> list:
+    """n distinct colors, cycling matplotlib defaults then named colors."""
+    colors = list(_FALLBACK_COLORS)
+    while len(colors) < n:
+        colors.append(f"C{len(colors) % 10}")
+    return colors[:n]
+
+
+def _family_style(eval_name: str):
+    """(linestyle, marker, markersize, single_dot) by method family
+    (ref:main_postprocessing.py:130-151 get_family_linestyle/marker)."""
+    linestyle, marker, markersize, single_dot = "-", "1", 3, False
+    try:
+        from clsurvey_tpu import methods
+        from clsurvey_tpu.methods.base import Category
+        m = methods.parse(eval_name)
+        cat = m.category
+        if cat == Category.BASELINE:
+            linestyle, marker = ":", "4"
+        elif cat == Category.MASK_BASED:
+            marker = "x"
+        elif cat == Category.DATA_BASED:
+            marker = 11  # CARETDOWNBASE
+        elif cat == Category.MODEL_BASED:
+            marker = "+" if "IMM" in eval_name else "1"
+        if m.name == "joint":
+            single_dot = True
+    except Exception:
+        if eval_name == "joint":
+            linestyle, marker, single_dot = ":", "4", True
+    return linestyle, marker, markersize, single_dot
 
 
 @dataclass
@@ -46,7 +90,8 @@ class ExperimentDataEntry:
     exp_name: str
     results_dir: str
     label: str = ""
-    color: str = "tab:gray"
+    color: str = ""
+    between_head_acc: bool = False  # plot seq_head_acc instead of seq_res
     # filled by collect():
     seq_acc: dict = field(default_factory=dict)        # ref task -> [acc..]
     seq_forgetting: dict = field(default_factory=dict)
@@ -57,7 +102,10 @@ class ExperimentDataEntry:
     def __post_init__(self):
         if not self.label:
             self.label = self.eval_name
-        self.color = METHOD_COLORS.get(self.eval_name, self.color)
+        if not self.color:
+            self.color = METHOD_COLORS.get(self.eval_name, "tab:gray")
+        (self.linestyle, self.marker, self.markersize,
+         self.single_dot) = _family_style(self.eval_name)
 
     # --- metrics (ref:main_postprocessing.py:342-360) -----------------------
     @property
@@ -80,47 +128,115 @@ class ExperimentDataEntry:
              for t in sorted(self.seq_forgetting)]
         return float(np.mean(f)) if f else float("nan")
 
+    def plot_label(self) -> str:
+        """Legend label with the summary appended
+        (ref:main_postprocessing.py:425-432 get_plot_label; Joint gets a
+        '*' and no forgetting, ref:main_postprocessing.py:169-171)."""
+        if self.single_dot:
+            return f"{self.label}*: {self.avg_acc:.2f} (n/a)"
+        return (f"{self.label}: {self.avg_acc:.2f} "
+                f"({self.avg_forgetting:.2f})")
+
+
+def _unwrap_series(raw, dataset_index: int, taskcount: int) -> list:
+    """The reference stores seq_res either as a one-key dict
+    ``{dataset_index: [...]}`` or a flat list; truncate to the models that
+    saw this task (ref:main_postprocessing.py:342-351)."""
+    if isinstance(raw, dict):
+        assert len(raw) == 1, f"expected one-key series dict, got {raw}"
+        raw = next(iter(raw.values()))
+    return list(raw)[: taskcount - dataset_index]
+
 
 def collect(entry: ExperimentDataEntry, max_task_count: int | None = None
             ) -> ExperimentDataEntry:
-    """Load the per-ref-task result dicts for one experiment."""
+    """Load the per-ref-task result dicts for one experiment.
+
+    Handles all three reference artifact layouts: 0-based per-task files
+    (the reference convention), legacy 1-based files from older runs of
+    this repo, and Joint's single full-batch file whose per-task accuracy
+    is repeated into a flat curve (ref:main_postprocessing.py:276-307,
+    363-370 reformat_single_sequence)."""
+    joint_path = os.path.join(entry.results_dir, JOINT_FULL_BATCH_FILENAME)
+    if io.exists(joint_path):
+        seq = _unwrap_series(io.load(joint_path)[entry.eval_name]["seq_res"],
+                             0, 10 ** 9)
+        T = len(seq) if max_task_count is None else min(len(seq),
+                                                        max_task_count)
+        for t in range(T):
+            curve = [seq[t]] * (T - t)
+            entry.seq_acc[t + 1] = curve
+            entry.seq_forgetting[t + 1] = [curve[0] - v for v in curve[1:]]
+        entry.task_count = T
+        return entry
+
+    # per-directory filename convention: 0-based if task 1's file is
+    # named ...0.pth, else legacy 1-based
+    base = os.path.join(entry.results_dir,
+                        f"test_method_performances{entry.eval_name}")
+    offset = 0 if io.exists(f"{base}0.pth") else 1
     t = 1
+    acc_raw = {}
     while True:
-        path = os.path.join(
-            entry.results_dir,
-            f"test_method_performances{entry.eval_name}{t}.pth")
+        path = f"{base}{t - 1 + offset}.pth"
         if not io.exists(path) or (max_task_count and t > max_task_count):
             break
         res = io.load(path)[entry.eval_name]
-        entry.seq_acc[t] = list(res["seq_res"])
-        entry.seq_forgetting[t] = list(res.get("seq_forgetting", []))
+        key = "seq_head_acc" if entry.between_head_acc else "seq_res"
+        acc_raw[t] = res[key]
         t += 1
-    entry.task_count = t - 1
+    taskcount = t - 1
+    for t in sorted(acc_raw):
+        series = _unwrap_series(acc_raw[t], t - 1, taskcount)
+        entry.seq_acc[t] = series
+        # forgetting recomputed from the accuracy series, like the
+        # reference (ref:main_postprocessing.py:354-358)
+        entry.seq_forgetting[t] = [series[0] - v for v in series[1:]]
+    entry.task_count = taskcount
     return entry
 
 
 def collect_gridsearch_exp_entries(test_results_root_path: str,
                                    ds_name: str, eval_name: str,
                                    model_name: str, gridsearch_name: str,
+                                   experiment_selection=None,
                                    exp_name_contains: str | None = None,
-                                   label_prefix: str = "") -> list:
+                                   exp_name_not_containing: str | None = None,
+                                   label_prefix: str = "",
+                                   label_func=None,
+                                   colors: list | None = None,
+                                   between_head_acc: bool = False) -> list:
     """Scan a gridsearch's test-results tree for experiments
     (ref:main_postprocessing.py:190-258)."""
     parent = os.path.join(test_results_root_path, "results", ds_name,
                           eval_name, model_name, gridsearch_name)
+    if experiment_selection:
+        if not isinstance(experiment_selection, list):
+            experiment_selection = [experiment_selection]
+        exp_names = [x.strip() for x in experiment_selection]
+    elif os.path.isdir(parent):
+        exp_names = sorted(
+            d for d in os.listdir(parent)
+            if os.path.isdir(os.path.join(parent, d)))
+    else:
+        return []
+    if exp_name_contains:
+        exp_names = [n for n in exp_names if exp_name_contains in n]
+    if exp_name_not_containing:
+        exp_names = [n for n in exp_names
+                     if exp_name_not_containing not in n]
     entries = []
-    if not os.path.isdir(parent):
-        return entries
-    for exp_name in sorted(os.listdir(parent)):
-        if exp_name_contains and exp_name_contains not in exp_name:
-            continue
+    for idx, exp_name in enumerate(exp_names):
         exp_dir = os.path.join(parent, exp_name)
-        if not os.path.isdir(exp_dir):
-            continue
+        if label_func:
+            label = label_func(exp_name)
+        else:
+            label = (label_prefix + eval_name) if label_prefix else eval_name
         entry = ExperimentDataEntry(
             ds_name, eval_name, model_name, gridsearch_name, exp_name,
-            exp_dir, label=(label_prefix + eval_name if label_prefix
-                            else eval_name))
+            exp_dir, label=label,
+            color=(colors[idx] if colors else ""),
+            between_head_acc=between_head_acc)
         entries.append(collect(entry))
     return [e for e in entries if e.task_count > 0]
 
@@ -166,7 +282,7 @@ def collect_hyperparams(entry: ExperimentDataEntry, method_name: str,
 def pad_hyperparams(entries: list, hyperparams_counts: dict,
                     pad_value=0) -> None:
     """Pad per-entry hyperparam lists to the max count so they tabulate
-    (ref:main_postprocessing.py:395-404 pad_dataframe)."""
+    (ref:main_postprocessing.py:395-409 pad_dataframe)."""
     for key, count in hyperparams_counts.items():
         for e in entries:
             vals = e.hyperparams.setdefault(key, [])
@@ -195,33 +311,68 @@ def print_hyperparam_table(entries: list, table_sep: str = "\t") -> str:
 def print_exp_statistics(entries: list, table_sep: str = "\t") -> str:
     """Summary table: avg acc / avg forgetting of the final model
     (ref:main_postprocessing.py:175-187)."""
-    lines = [table_sep.join(["method", "exp", "avg_acc", "avg_forgetting"])]
+    lines = ["-" * 50, "SUMMARY", "-" * 50,
+             table_sep.join(["'EXPERIMENT'", "'AVG ACC(FINAL MODEL)'",
+                             "'AVG FORGETTING(FINAL MODEL)'"])]
     for e in entries:
         lines.append(table_sep.join([
-            e.eval_name, e.exp_name, f"{e.avg_acc:.2f}",
-            f"{e.avg_forgetting:.2f}"]))
+            e.label, f"{e.avg_acc:.2f}", f"({e.avg_forgetting:.2f})"]))
     table = "\n".join(lines)
     print(table)
     return table
+
+
+def _versioned(path: str) -> str:
+    """Never overwrite a rendered figure: suffix _v2, _v3, ...
+    (ref:main_postprocessing.py:483-488)."""
+    if not os.path.exists(path):
+        return path
+    stem, ext = os.path.splitext(path)
+    n = 2
+    while os.path.exists(f"{stem}_v{n}{ext}"):
+        n += 1
+    return f"{stem}_v{n}{ext}"
 
 
 def analyze_experiments(entries: list, plot_seq_acc: bool = True,
                         plot_seq_forgetting: bool = False,
                         save_img_path: str | None = None,
                         img_extention: str = "png",
-                        ylim=None) -> str:
+                        legend_location: str = "top",
+                        all_diff_color_force: bool = False,
+                        label_avg_plot_acc: bool = True,
+                        ylim=None, taskcount: int | None = None) -> str:
     """Pipeline: collect -> plot -> summary (ref:main_postprocessing.py:
-    12-41)."""
+    12-41). ``all_diff_color_force`` overrides family colors with a
+    distinct-per-entry palette (ref:main_postprocessing.py:479-480)."""
+    entries = [e for e in entries if e.task_count > 0]
+    if all_diff_color_force:
+        for e, c in zip(entries, get_colors(len(entries))):
+            e.color = c
+    if label_avg_plot_acc:
+        plot_entries = []
+        for e in entries:
+            import copy
+
+            pe = copy.copy(e)
+            pe.label = e.plot_label()
+            plot_entries.append(pe)
+    else:
+        plot_entries = entries
     if save_img_path and entries:
         from clsurvey_tpu.utilities import plot as plot_lib
 
         os.makedirs(os.path.dirname(save_img_path) or ".", exist_ok=True)
         if plot_seq_acc:
             plot_lib.plot_line_horizontal_sequence(
-                entries, save_img_path + "_acc." + img_extention,
-                metric="acc", ylim=ylim)
+                plot_entries,
+                _versioned(save_img_path + "_acc." + img_extention),
+                metric="acc", ylim=ylim, legend=legend_location,
+                taskcount=taskcount)
         if plot_seq_forgetting:
             plot_lib.plot_line_horizontal_sequence(
-                entries, save_img_path + "_forgetting." + img_extention,
-                metric="forgetting", ylim=ylim)
+                plot_entries,
+                _versioned(save_img_path + "_forgetting." + img_extention),
+                metric="forgetting", ylim=ylim, legend=legend_location,
+                taskcount=taskcount)
     return print_exp_statistics(entries)

@@ -25,15 +25,3 @@ def set_random(seed: int = DEFAULT_SEED) -> jax.Array:
     np.random.seed(seed % (2**32))
     _KEY = jax.random.PRNGKey(seed)
     return _KEY
-
-
-def next_key(n: int | None = None) -> jax.Array:
-    """Split the global key; mirrors consuming torch's global RNG stream."""
-    global _KEY
-    if _KEY is None:
-        set_random()
-    if n is None:
-        _KEY, sub = jax.random.split(_KEY)
-        return sub
-    _KEY, *subs = jax.random.split(_KEY, n + 1)
-    return jax.numpy.stack(subs)

@@ -1,0 +1,139 @@
+"""Full-survey demo: every method through the complete pipeline.
+
+Drives all 16 method variants (11 CL methods + 4 baselines + Joint) over a
+10-task synthetic sequence in the Tiny-ImageNet shape regime (10 classes/
+task, 64x64) through the full two-phase Continual Hyperparameter Framework,
+the eval matrix, and the postprocessing/plot pipeline — the reference's
+``main_tinyimagenet.sh`` protocol end-to-end
+(ref:src/main_tinyimagenet.sh:28-39) at demo scale.
+
+Run (TPU or CPU):
+    python scripts/run_survey_demo.py [--tasks 10] [--epochs 12] \
+        [--out docs/survey_demo] [--methods SI,EWC,...]
+
+Per-run state is resumable: rerunning skips completed phases via the
+framework's SUCCESS flags, so an interrupted sweep continues where it
+stopped."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+MODEL = "small_VGG9_cl_128_128"
+GRID = "survey_demo"
+
+# (method_name, decayed hyperparams DSL, static hyperparams DSL)
+# demo-scale settings: reference defaults where feasible, reduced memory /
+# generations for the 640-img/task synthetic set
+METHODS = [
+    ("SI", None, None),
+    ("EWC", None, None),
+    ("MAS", None, None),
+    ("mean_IMM", None, None),
+    ("mode_IMM", None, None),
+    ("LWF", None, None),
+    ("EBLL", None, "0.01;5;0.1;16"),
+    ("GEM", None, "128"),
+    ("ICARL", None, "128"),
+    ("packnet", "0.75", None),
+    ("HAT", "400,2.5", None),
+    ("pathnet", "3", "8;5"),
+    ("finetuning", None, None),
+    ("finetuning_rehearsal_partial_mem", None, "64"),
+    ("finetuning_rehearsal_full_mem", None, "128"),
+    ("joint", None, None),
+]
+
+
+def run_all(ds_name: str, epochs: int, batch_size: int, out_base: str,
+            only=None, max_attempts: int = 3):
+    from clsurvey_tpu.framework.common import RunArgs
+    from clsurvey_tpu.framework.main import main as run_main
+
+    common = dict(model_name=MODEL, ds_name=ds_name, num_epochs=epochs,
+                  batch_size=batch_size, lr_grid=(5e-2, 1e-2),
+                  gridsearch_name=GRID, max_attempts_per_task=max_attempts)
+
+    t0 = time.time()
+    print("== first-task base model (SI dump) ==", flush=True)
+    run_main(RunArgs(method_name="SI",
+                     runmode="first_task_basemodel_dump", **common))
+
+    statuses = {}
+    for name, hp, shp in METHODS:
+        if only and name not in only:
+            continue
+        print(f"\n== {name} ==", flush=True)
+        t1 = time.time()
+        try:
+            run_main(RunArgs(method_name=name, test=True, hyperparams=hp,
+                             static_hyperparams=shp, **common))
+            statuses[name] = {"ok": True, "secs": round(time.time() - t1)}
+        except Exception as e:
+            traceback.print_exc()
+            statuses[name] = {"ok": False, "error": str(e),
+                              "secs": round(time.time() - t1)}
+    statuses["_total_secs"] = round(time.time() - t0)
+    return statuses
+
+
+def postprocess(ds_name: str, out_base: str):
+    """Collect every method's eval artifacts, render the stacked plot and
+    print the summary + hyperparam tables."""
+    from clsurvey_tpu.utilities import postprocessing as post
+    from clsurvey_tpu.utils.config import load_config
+
+    cfg = load_config()
+    entries = []
+    for name, _, _ in METHODS:
+        method_entries = post.collect_gridsearch_exp_entries(
+            cfg.test_results_root_path, ds_name, name, MODEL, GRID)
+        entries.extend(method_entries)
+    counts: dict = {}
+    for e in entries:
+        post.collect_hyperparams(e, e.eval_name, hyperparams_counts=counts)
+    post.pad_hyperparams(entries, counts)
+    os.makedirs(os.path.dirname(out_base) or ".", exist_ok=True)
+    summary = post.analyze_experiments(
+        entries, plot_seq_acc=True, plot_seq_forgetting=True,
+        save_img_path=out_base, all_diff_color_force=False)
+    hp_table = post.print_hyperparam_table(entries)
+    with open(out_base + "_summary.txt", "w") as f:
+        f.write(summary + "\n\n" + hp_table + "\n")
+    return entries, summary
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tasks", type=int, default=10)
+    ap.add_argument("--classes", type=int, default=10)
+    ap.add_argument("--px", type=int, default=64)
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--batch_size", type=int, default=100)
+    ap.add_argument("--max_attempts", type=int, default=3)
+    ap.add_argument("--out", default="docs/survey_demo")
+    ap.add_argument("--methods", default=None,
+                    help="comma-separated subset")
+    ap.add_argument("--postprocess_only", action="store_true")
+    a = ap.parse_args(argv)
+    ds_name = f"synthetic_{a.tasks}t_{a.classes}c_{a.px}px"
+    if not a.postprocess_only:
+        only = set(a.methods.split(",")) if a.methods else None
+        statuses = run_all(ds_name, a.epochs, a.batch_size, a.out,
+                           only=only, max_attempts=a.max_attempts)
+        print(json.dumps(statuses, indent=1))
+        with open(a.out + "_status.json", "w") as f:
+            json.dump(statuses, f, indent=1)
+    postprocess(ds_name, a.out)
+
+
+if __name__ == "__main__":
+    main()

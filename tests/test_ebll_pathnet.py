@@ -46,9 +46,9 @@ def test_ebll_sequence(fresh_config):
     out_dir = paths_lib.get_test_results_path(
         COMMON["ds_name"], "EBLL", COMMON["model_name"], "testgrid",
         manager.exp_name, create=False)
-    res = io.load(os.path.join(out_dir,
-                               "test_method_performancesEBLL1.pth"))
-    assert len(res["EBLL"]["seq_res"]) == 2
+    from tests.helpers import load_seq_res
+
+    assert len(load_seq_res(out_dir, "EBLL", 1)) == 2
 
 
 def test_pathnet_sequence(fresh_config):
@@ -70,12 +70,13 @@ def test_pathnet_sequence(fresh_config):
     out_dir = paths_lib.get_test_results_path(
         COMMON["ds_name"], "pathnet", COMMON["model_name"], "testgrid",
         manager.exp_name, create=False)
-    res = io.load(os.path.join(out_dir,
-                               "test_method_performancespathnet1.pth"))
-    assert len(res["pathnet"]["seq_res"]) == 2
-    assert res["pathnet"]["seq_res"][0] > 40.0  # must beat chance (25%)
+    from tests.helpers import load_seq_forgetting, load_seq_res
+
+    seq = load_seq_res(out_dir, "pathnet", 1)
+    assert len(seq) == 2
+    assert seq[0] > 40.0  # must beat chance (25%)
     # task-1 path modules are frozen -> zero forgetting
-    assert abs(res["pathnet"]["seq_forgetting"][0]) < 1e-6
+    assert abs(load_seq_forgetting(out_dir, "pathnet", 1)[0]) < 1e-6
 
 
 def test_pathnet_decay_operator():

@@ -43,23 +43,28 @@ def test_finetune_full_pipeline(fresh_config, ft_args):
     out_dir = paths_lib.get_test_results_path(
         "synthetic_2t_4c_32px", "finetuning", "tiny_CNN_cl_32_32",
         "testgrid", manager.exp_name, create=False)
+    # 0-based filenames like the reference's get_perf_output_filename
+    # (ref:src/utilities/utils.py:220-228)
     res1 = io.load(os.path.join(
-        out_dir, "test_method_performancesfinetuning1.pth"))
+        out_dir, "test_method_performancesfinetuning0.pth"))
     assert "finetuning" in res1
     inner = res1["finetuning"]
     # reference keys must all be present; seq_per_class is our additive
     # observability extra (the reference loader indexes keys, never
     # iterates them, main_postprocessing.py:342-360)
     assert {"seq_res", "seq_forgetting", "seq_head_acc"} <= set(inner)
-    assert len(inner["seq_res"]) == 2  # ref task 1 evaluated on models 1,2
+    # reference shape: one-key dicts {dataset_index: [...]}
+    # (ref:src/framework/eval.py:204-214)
+    assert set(inner["seq_res"]) == {0}
+    assert len(inner["seq_res"][0]) == 2  # ref task 1 eval'd on models 1,2
     # reference shape: forgetting omits the self-comparison entry
-    assert len(inner["seq_forgetting"]) == 1
+    assert len(inner["seq_forgetting"][0]) == 1
     assert inner["seq_head_acc"] == []
     # first-task model should classify task 1 well (percentages)
-    assert inner["seq_res"][0] > 60.0
+    assert inner["seq_res"][0][0] > 60.0
     res2 = io.load(os.path.join(
-        out_dir, "test_method_performancesfinetuning2.pth"))
-    assert len(res2["finetuning"]["seq_res"]) == 1
+        out_dir, "test_method_performancesfinetuning1.pth"))
+    assert len(res2["finetuning"]["seq_res"][1]) == 1
 
 
 def test_lr_grid_resume(fresh_config, ft_args):
@@ -93,5 +98,9 @@ def test_joint_baseline(fresh_config):
     out_dir = paths_lib.get_test_results_path(
         "synthetic_2t_4c_32px", "joint", "tiny_CNN_cl_32_32",
         "testgrid", manager.exp_name, create=False)
-    res = io.load(os.path.join(out_dir, "test_method_performancesjoint1.pth"))
+    # Joint writes ONE full-batch artifact (ref:src/framework/eval.py:
+    # 116-141, utils.py:225-226): flat seq_res, one acc per task
+    res = io.load(os.path.join(
+        out_dir, "test_method_performancesJOINT_FULL_BATCH.pth"))
+    assert len(res["joint"]["seq_res"]) == 2
     assert res["joint"]["seq_res"][0] > 50.0

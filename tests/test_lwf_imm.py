@@ -101,7 +101,7 @@ def test_imm_and_lwf_sequences(fresh_config):
         "synthetic_2t_4c_32px", "mean_IMM", "tiny_CNN_cl_32_32", "testgrid",
         manager.exp_name, create=False)
     assert os.path.isfile(os.path.join(
-        out_dir, "test_method_performancesmean_IMM1.pth"))
+        out_dir, "test_method_performancesmean_IMM0.pth"))
     # merged model artifact exists next to the task-2 model
     merge_path = os.path.join(
         os.path.dirname(manager.previous_task_model_path),
@@ -116,10 +116,11 @@ def test_imm_and_lwf_sequences(fresh_config):
     out_dir = paths_lib.get_test_results_path(
         "synthetic_2t_4c_32px", "LWF", "tiny_CNN_cl_32_32", "testgrid",
         manager.exp_name, create=False)
-    res = io.load(os.path.join(out_dir,
-                               "test_method_performancesLWF1.pth"))
-    assert len(res["LWF"]["seq_res"]) == 2
-    assert res["LWF"]["seq_res"][1] > 50.0  # still performs after task 2
+    from tests.helpers import load_seq_res
+
+    seq = load_seq_res(out_dir, "LWF", 1)
+    assert len(seq) == 2
+    assert seq[1] > 50.0  # still performs after task 2
 
 
 def test_mode_imm_sequence(fresh_config):
@@ -149,8 +150,9 @@ def test_mode_imm_sequence(fresh_config):
     out_dir = paths_lib.get_test_results_path(
         "synthetic_2t_4c_32px", "mode_IMM", "tiny_CNN_cl_32_32",
         "testgrid", manager.exp_name, create=False)
-    res = io.load(os.path.join(
-        out_dir, "test_method_performancesmode_IMM1.pth"))
-    assert len(res["mode_IMM"]["seq_res"]) == 2
+    from tests.helpers import load_seq_res
+
+    seq = load_seq_res(out_dir, "mode_IMM", 1)
+    assert len(seq) == 2
     # merged model should still classify task 1 reasonably
-    assert res["mode_IMM"]["seq_res"][0] > 40.0
+    assert seq[0] > 40.0

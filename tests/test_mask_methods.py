@@ -82,11 +82,11 @@ def test_packnet_sequence(fresh_config):
     out_dir = paths_lib.get_test_results_path(
         COMMON["ds_name"], "packnet", COMMON["model_name"], "testgrid",
         manager.exp_name, create=False)
-    res = io.load(os.path.join(out_dir,
-                               "test_method_performancespacknet1.pth"))
-    assert len(res["packnet"]["seq_res"]) == 2
+    from tests.helpers import load_seq_forgetting, load_seq_res
+
+    assert len(load_seq_res(out_dir, "packnet", 1)) == 2
     # PackNet guarantees ZERO forgetting: task-1 subnetwork is frozen
-    f = res["packnet"]["seq_forgetting"][0]
+    f = load_seq_forgetting(out_dir, "packnet", 1)[0]
     assert abs(f) < 1e-6, f
 
 
@@ -110,9 +110,11 @@ def test_hat_sequence(fresh_config):
     out_dir = paths_lib.get_test_results_path(
         COMMON["ds_name"], "HAT", COMMON["model_name"], "testgrid",
         manager.exp_name, create=False)
-    res = io.load(os.path.join(out_dir, "test_method_performancesHAT1.pth"))
-    assert len(res["HAT"]["seq_res"]) == 2
-    assert res["HAT"]["seq_res"][0] > 60.0  # HAT must actually learn
+    from tests.helpers import load_seq_res
+
+    seq = load_seq_res(out_dir, "HAT", 1)
+    assert len(seq) == 2
+    assert seq[0] > 60.0  # HAT must actually learn
 
 
 def test_hat_mask_back_blocks_prev_capacity():
@@ -171,8 +173,9 @@ def test_hat_alexnet_sequence(fresh_config):
     out_dir = paths_lib.get_test_results_path(
         ALEX_COMMON["ds_name"], "HAT", "alexnet", "testgrid",
         manager.exp_name, create=False)
-    res = io.load(os.path.join(out_dir, "test_method_performancesHAT1.pth"))
-    assert len(res["HAT"]["seq_res"]) == 2
+    from tests.helpers import load_seq_res
+
+    assert len(load_seq_res(out_dir, "HAT", 1)) == 2
 
 
 def test_pathnet_alexnet_sequence(fresh_config):
@@ -198,9 +201,9 @@ def test_pathnet_alexnet_sequence(fresh_config):
     out_dir = paths_lib.get_test_results_path(
         kwargs["ds_name"], "pathnet", "alexnet", "testgrid",
         manager.exp_name, create=False)
-    res = io.load(os.path.join(out_dir,
-                               "test_method_performancespathnet1.pth"))
-    assert len(res["pathnet"]["seq_res"]) == 2
+    from tests.helpers import load_seq_res
+
+    assert len(load_seq_res(out_dir, "pathnet", 1)) == 2
 
 
 def test_pathnet_module_sum_is_post_activation():

@@ -72,3 +72,137 @@ def test_demo_plot_config_runs_on_real_pipeline(fresh_config):
                                      + "/demo_img"))
     assert len(entries) == 1
     assert entries[0].avg_acc > 50.0
+
+
+def _write_results_ref_convention(root, method="EWC", tasks=3,
+                                  model="small_VGG9_cl_128_128",
+                                  grid="grid", exp="lambda=400"):
+    """Reference-exact artifacts: 0-based filenames + one-key dict series
+    (ref:src/framework/eval.py:157-180, utils.py:220-228)."""
+    exp_dir = os.path.join(root, "results", "tiny", method, model, grid,
+                           exp)
+    os.makedirs(exp_dir, exist_ok=True)
+    for idx in range(tasks):
+        n_models = tasks - idx
+        seq = [80.0 - 5 * i for i in range(n_models)]
+        io.save({method: {
+            "seq_res": {idx: seq},
+            "seq_forgetting": {idx: [seq[0] - a for a in seq[1:]]},
+            "seq_head_acc": [],
+        }}, os.path.join(exp_dir,
+                         f"test_method_performances{method}{idx}.pth"))
+    return exp_dir
+
+
+def test_collect_reference_convention(tmp_path):
+    """0-based filenames with dict-shaped series parse identically to the
+    legacy layout."""
+    _write_results_ref_convention(str(tmp_path))
+    entries = collect_gridsearch_exp_entries(
+        str(tmp_path), "tiny", "EWC", "small_VGG9_cl_128_128", "grid")
+    assert len(entries) == 1
+    e = entries[0]
+    assert e.task_count == 3
+    np.testing.assert_allclose(e.final_model_accs, [70.0, 75.0, 80.0])
+    np.testing.assert_allclose(e.avg_acc, 75.0)
+    np.testing.assert_allclose(e.avg_forgetting, 5.0)
+
+
+def test_collect_joint_full_batch(tmp_path):
+    """Joint's single full-batch artifact reformats into repeated-value
+    curves (ref:main_postprocessing.py:276-307,363-370)."""
+    exp_dir = os.path.join(str(tmp_path), "results", "tiny", "joint",
+                           "small_VGG9_cl_128_128", "grid", "exp")
+    os.makedirs(exp_dir)
+    io.save({"joint": {"seq_res": [60.0, 55.0, 50.0]}},
+            os.path.join(exp_dir,
+                         "test_method_performancesJOINT_FULL_BATCH.pth"))
+    entries = collect_gridsearch_exp_entries(
+        str(tmp_path), "tiny", "joint", "small_VGG9_cl_128_128", "grid")
+    assert len(entries) == 1
+    e = entries[0]
+    assert e.task_count == 3
+    assert e.seq_acc[1] == [60.0, 60.0, 60.0]  # repeated, no forgetting
+    assert e.seq_acc[3] == [50.0]
+    np.testing.assert_allclose(e.avg_forgetting, 0.0)
+    # Joint renders as a single final dot with a '*' label
+    assert e.single_dot
+    assert e.plot_label().startswith(e.label + "*")
+    assert "(n/a)" in e.plot_label()
+
+
+def test_family_styles():
+    """Per-family linestyle/marker (ref:main_postprocessing.py:130-151)."""
+    mk = lambda name: ExperimentDataEntry("tiny", name, "m", "g", "e", "/x")
+    assert mk("finetuning").linestyle == ":"   # baseline family
+    assert mk("packnet").marker == "x"         # mask family
+    assert mk("LWF").marker == 11              # data family
+    assert mk("mean_IMM").marker == "+"        # IMM special-case
+    assert mk("EWC").marker == "1"             # model family
+    assert mk("EWC").linestyle == "-"
+    assert not mk("EWC").single_dot and mk("joint").single_dot
+
+
+def test_analyze_versioned_and_forced_colors(tmp_path):
+    """all_diff_color_force assigns distinct colors; rendered figures are
+    never overwritten (ref:main_postprocessing.py:479-488)."""
+    _write_results_ref_convention(str(tmp_path))
+    _write_results_ref_convention(str(tmp_path), method="MAS")
+    entries = []
+    for m in ("EWC", "MAS"):
+        entries += collect_gridsearch_exp_entries(
+            str(tmp_path), "tiny", m, "small_VGG9_cl_128_128", "grid")
+    img_base = str(tmp_path / "img" / "all")
+    analyze_experiments(entries, save_img_path=img_base,
+                        all_diff_color_force=True)
+    assert len({e.color for e in entries}) == 2
+    assert os.path.isfile(img_base + "_acc.png")
+    analyze_experiments(entries, save_img_path=img_base)
+    assert os.path.isfile(img_base + "_acc_v2.png")  # versioned, no clobber
+
+
+def test_long_sequence_panel_subset(tmp_path):
+    """>10-task sequences plot the reference's panel subset
+    (ref:src/utilities/plot.py:38: tasks 1,5,10,15,20)."""
+    _write_results_ref_convention(str(tmp_path), tasks=20)
+    entries = collect_gridsearch_exp_entries(
+        str(tmp_path), "tiny", "EWC", "small_VGG9_cl_128_128", "grid")
+    from clsurvey_tpu.utilities.plot import plot_line_horizontal_sequence
+
+    out = str(tmp_path / "long.png")
+    plot_line_horizontal_sequence(entries, out)
+    assert os.path.isfile(out)
+
+
+def test_save_image_grid(tmp_path):
+    """Exemplar visual check (ref:plot.py:223-246 imshow_tensor /
+    gem.py:375-387)."""
+    from clsurvey_tpu.utilities.plot import save_image_grid
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, size=(10, 16, 16, 3), dtype=np.uint8)
+    out = str(tmp_path / "mem.png")
+    save_image_grid(imgs, out, labels=list(range(10)), title="buffer")
+    assert os.path.isfile(out)
+
+
+def test_entry_filters(tmp_path):
+    """experiment_selection / exp_name_not_containing / label_func /
+    explicit colors (ref:main_postprocessing.py:219-257)."""
+    _write_results_ref_convention(str(tmp_path), exp="lambda=400")
+    _write_results_ref_convention(str(tmp_path), exp="lambda=800")
+    kw = dict(ds_name="tiny", eval_name="EWC",
+              model_name="small_VGG9_cl_128_128", gridsearch_name="grid")
+    root = str(tmp_path)
+    assert len(collect_gridsearch_exp_entries(root, **kw)) == 2
+    sel = collect_gridsearch_exp_entries(
+        root, experiment_selection="lambda=400", **kw)
+    assert [e.exp_name for e in sel] == ["lambda=400"]
+    excl = collect_gridsearch_exp_entries(
+        root, exp_name_not_containing="800", **kw)
+    assert [e.exp_name for e in excl] == ["lambda=400"]
+    styled = collect_gridsearch_exp_entries(
+        root, label_func=lambda n: f"EWC[{n}]", colors=["red", "blue"],
+        **kw)
+    assert styled[0].label == "EWC[lambda=400]"
+    assert [e.color for e in styled] == ["red", "blue"]

@@ -62,7 +62,8 @@ def test_reference_loader_reads_our_eval_dicts(ewc_run):
     avg_acc, avg_forgetting = 0.0, 0.0
     for dataset_index in range(taskcount):
         # the reference's exact filename scheme + torch.load
-        acc_filename = (f"test_method_performancesEWC{dataset_index + 1}"
+        # (ref:utils.py:228: 'test_method_performances' + name + str(idx))
+        acc_filename = (f"test_method_performancesEWC{dataset_index}"
                         f".pth")
         path = os.path.join(out_dir, acc_filename)
         method_performances = torch.load(path, weights_only=False)
@@ -74,7 +75,10 @@ def test_reference_loader_reads_our_eval_dicts(ewc_run):
         avg_forgetting += m.get("forgetting", [0.0])[-1] \
             if len(m["seq"]) > 1 else 0.0
         # seq_forgetting in the artifact matches the recomputed one
+        # (stored in the reference's one-key dict form, eval.py:178-180)
         stored_f = method_performances["EWC"]["seq_forgetting"]
+        if isinstance(stored_f, dict):
+            stored_f = stored_f[dataset_index]
         np.testing.assert_allclose(stored_f, m.get("forgetting", []),
                                    rtol=1e-6)
     avg_acc /= taskcount

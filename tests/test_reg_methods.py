@@ -217,4 +217,4 @@ def test_si_dump_then_ewc_sequence(fresh_config):
         "synthetic_2t_4c_32px", "EWC", "tiny_CNN_cl_32_32", "testgrid",
         manager.exp_name, create=False)
     assert os.path.isfile(os.path.join(
-        out_dir, "test_method_performancesEWC1.pth"))
+        out_dir, "test_method_performancesEWC0.pth"))

@@ -115,8 +115,9 @@ def test_gem_sequence(fresh_config):
     out_dir = paths_lib.get_test_results_path(
         COMMON["ds_name"], "GEM", COMMON["model_name"], "testgrid",
         manager.exp_name, create=False)
-    res = io.load(os.path.join(out_dir, "test_method_performancesGEM1.pth"))
-    assert len(res["GEM"]["seq_res"]) == 2
+    from tests.helpers import load_seq_res
+
+    assert len(load_seq_res(out_dir, "GEM", 1)) == 2
 
 
 def test_rehearsal_baseline_partial(fresh_config):
@@ -130,12 +131,11 @@ def test_rehearsal_baseline_partial(fresh_config):
     out_dir = paths_lib.get_test_results_path(
         COMMON["ds_name"], "finetuning_rehearsal_partial_mem",
         COMMON["model_name"], "testgrid", manager.exp_name, create=False)
-    res = io.load(os.path.join(
-        out_dir,
-        "test_method_performancesfinetuning_rehearsal_partial_mem1.pth"))
-    inner = res["finetuning_rehearsal_partial_mem"]
-    assert len(inner["seq_res"]) == 2
-    assert inner["seq_res"][0] > 50.0
+    from tests.helpers import load_seq_res
+
+    seq = load_seq_res(out_dir, "finetuning_rehearsal_partial_mem", 1)
+    assert len(seq) == 2
+    assert seq[0] > 50.0
 
 
 def test_icarl_sequence(fresh_config):
@@ -156,8 +156,9 @@ def test_icarl_sequence(fresh_config):
     out_dir = paths_lib.get_test_results_path(
         COMMON["ds_name"], "ICARL", COMMON["model_name"], "testgrid",
         manager.exp_name, create=False)
-    res = io.load(os.path.join(out_dir,
-                               "test_method_performancesICARL1.pth"))
-    assert len(res["ICARL"]["seq_res"]) == 2
+    from tests.helpers import load_seq_res
+
+    seq = load_seq_res(out_dir, "ICARL", 1)
+    assert len(seq) == 2
     # NCM eval should be strong on this easy data
-    assert res["ICARL"]["seq_res"][0] > 50.0
+    assert seq[0] > 50.0

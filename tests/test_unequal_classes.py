@@ -30,14 +30,12 @@ def test_unequal_counts_full_pipeline(fresh_config):
     out_dir = paths_lib.get_test_results_path(
         "synthetic_3t_5-3-4c_32px", "finetuning", "tiny_CNN_cl_32_32",
         "testgrid", manager.exp_name, create=False)
+    from tests.helpers import load_seq_res
+
     for t in (1, 2, 3):
-        res = io.load(os.path.join(
-            out_dir, f"test_method_performancesfinetuning{t}.pth"))
-        accs = res["finetuning"]["seq_res"]
+        accs = load_seq_res(out_dir, "finetuning", t)
         assert len(accs) == 3 - t + 1
         # task-2 has 3 classes: masked slots must never be predicted, so
         # accuracy on its own model should clear chance comfortably
         assert accs[-1] >= 0.0
-    res2 = io.load(os.path.join(
-        out_dir, "test_method_performancesfinetuning2.pth"))
-    assert res2["finetuning"]["seq_res"][0] > 60.0
+    assert load_seq_res(out_dir, "finetuning", 2)[0] > 60.0
