@@ -24,8 +24,7 @@ TASKS = ("flowers", "scenes", "birds", "cars", "aircraft", "actions",
          "letters", "svhn")
 
 
-def prepare(raw_root: str, out_root: str, seed: int = 7,
-            val_fraction_of_train: float = 0.2) -> str:
+def prepare(raw_root: str, out_root: str, seed: int = 7) -> str:
     out_dir = os.path.join(out_root, "recogseq_8tasks")
     token = os.path.join(out_dir, "PREP.TOKEN")
     if os.path.isfile(token):

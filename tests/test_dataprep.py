@@ -111,3 +111,74 @@ def test_load_imagefolder_and_split(tmp_path):
     assert len(tr.labels) + len(va.labels) == 10
     # at least one val sample per class (reference splits per class)
     assert set(np.unique(va.labels)) == {0, 1}
+
+
+def test_inaturalist_prepare_synthetic_tree(tmp_path, monkeypatch):
+    """iNaturalist prep over a fake supercategory/species tree
+    (ref:src/data/inaturalist_dataprep.py: >=100-img class filter,
+    per-class test/val carving, supercategory ordering)."""
+    from clsurvey_tpu.data import inaturalist as inat
+
+    monkeypatch.setattr(inat, "MIN_IMAGES_PER_CLASS", 3)
+    monkeypatch.setattr(inat, "IMG_SIZE", 16)
+    raw = tmp_path / "raw"
+    for sc in inat.ORDER_UNREL:
+        for sp in ("sp_a", "sp_b"):
+            d = raw / sc / sp
+            d.mkdir(parents=True)
+            for j in range(6):
+                _write_png(d / f"{j}.png", hash(sc + sp) % 200 + j)
+        # a species below the filter threshold must be dropped
+        small = raw / sc / "sp_rare"
+        small.mkdir()
+        _write_png(small / "0.png", 7)
+    out = inat.prepare(str(raw), str(tmp_path / "ds"), order="unrel",
+                       test_fraction=0.2, val_fraction=0.25)
+    assert os.path.isfile(os.path.join(out, "PREP.TOKEN"))
+    for t in range(1, 11):
+        assert os.path.isfile(os.path.join(out, f"task_{t}.npz"))
+    seq = inat.INaturalistSequence("inat", ds_root=str(tmp_path / "ds"))
+    assert seq.get_taskname(1) == "Amphibia"
+    assert seq.get_taskname(10) == "Animalia"
+    td = seq.get_task_dataset(1)
+    assert list(td.classes) == ["sp_a", "sp_b"]  # rare species filtered
+    # per task: 2 species x 6 imgs split into train/val/test, all disjoint
+    total = td.train.size + td.val.size + td.test.size
+    assert total == 12 and td.test.size >= 2
+    # rerunning is a no-op (token idempotence)
+    assert inat.prepare(str(raw), str(tmp_path / "ds")) == out
+
+
+def test_recogseq_prepare_synthetic_tree(tmp_path, monkeypatch):
+    """RecogSeq prep over fake per-dataset train/test ImageFolders
+    (ref:src/data/recogseq_dataprep.py:13-134: 90/10 val/test carve of the
+    original test split, unequal class counts across tasks)."""
+    from clsurvey_tpu.data import recogseq as rs
+
+    monkeypatch.setattr(rs, "IMG_SIZE", 16)
+    raw = tmp_path / "raw"
+    for k, name in enumerate(rs.TASKS):
+        ncls = 2 + (k % 3)  # unequal class counts
+        for c in range(ncls):
+            tr = raw / name / "train" / f"cls{c}"
+            te = raw / name / "test" / f"cls{c}"
+            tr.mkdir(parents=True)
+            te.mkdir(parents=True)
+            for j in range(3):
+                _write_png(tr / f"{j}.png", 10 * k + c + j)
+            for j in range(10):
+                _write_png(te / f"{j}.png", 10 * k + c - j)
+    out = rs.prepare(str(raw), str(tmp_path / "ds"))
+    seq = rs.RecogSeqSequence("recogseq", ds_root=str(tmp_path / "ds"))
+    assert seq.get_taskname(1) == "flowers"
+    assert seq.get_taskname(8) == "svhn"
+    for t in range(1, 9):
+        td = seq.get_task_dataset(t)
+        ncls = 2 + ((t - 1) % 3)
+        assert len(td.classes) == ncls
+        assert td.train.size == 3 * ncls
+        # 90/10 val/test of the 10 test images per class
+        assert td.val.size == 9 * ncls
+        assert td.test.size == 1 * ncls
+    # unequal class counts surface through the registry metadata
+    assert seq.classes_per_task["1"] == 2 and seq.classes_per_task["3"] == 4
