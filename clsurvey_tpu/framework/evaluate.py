@@ -63,8 +63,13 @@ def default_inference_eval(manager, model, ref_task: int) -> float:
         "correct": per_class_c.astype(int).tolist(),
         "total": per_class_t.astype(int).tolist(),
     }
-    shown = ", ".join(f"{a:.2f}" for a in
-                      per_class_acc[: int(task_data.num_classes)])
+    # per-class accuracy named like the reference's printout
+    # (ref:src/framework/inference.py:78-81 'Accuracy of <class> ...')
+    names = list(task_data.classes) or [
+        str(i) for i in range(int(task_data.num_classes))]
+    shown = ", ".join(
+        f"{n}={a:.2f}" for n, a in
+        zip(names, per_class_acc[: int(task_data.num_classes)]))
     print(f"    per-class acc: [{shown}]")
     return acc
 
@@ -126,7 +131,9 @@ def eval_all_models_all_tasks(args, manager, model_paths: list,
                 "seq_head_acc": res["seq_head_acc"],
                 "seq_per_class": res["seq_per_class"],
             }}
-            io.save_compat(out, out_path)
+            # debug runs never persist results (ref:eval.py:182-184)
+            if not getattr(args, "debug", False):
+                io.save_compat(out, out_path)
             results.append(res)
         except Exception as e:
             print(f"EVAL ERROR task {ref_task}: {e}")
@@ -180,11 +187,13 @@ def eval_single_model_all_tasks(args, manager, model_path, out_dir: str
         offset += ncls
         print(f"  JOINT ref_task {ref_task}: acc={acc:.4f}")
     # single full-batch artifact, the reference's Joint format
-    # (ref:src/framework/eval.py:116-141 + utils.py:225-226)
-    io.save_compat(
-        {manager.method.eval_name: {"seq_res": seq_res}},
-        os.path.join(out_dir, "test_method_performancesJOINT_FULL_BATCH"
-                              ".pth"))
+    # (ref:src/framework/eval.py:116-141 + utils.py:225-226); debug runs
+    # never persist results (ref:eval.py:136-138)
+    if not getattr(args, "debug", False):
+        io.save_compat(
+            {manager.method.eval_name: {"seq_res": seq_res}},
+            os.path.join(out_dir,
+                         "test_method_performancesJOINT_FULL_BATCH.pth"))
     return results
 
 
