@@ -40,6 +40,10 @@ class RunArgs:
     runmode: str = "default"  # default | first_task_basemodel_dump | debug
     test: bool = False
     test_overwrite_mode: bool = False
+    # eval range/split control (ref:src/framework/main.py:71-74)
+    test_set: str = "test"  # test | val | train
+    test_starting_task_count: int = 1
+    test_max_task_count: int | None = None
     # method hyperparams as the reference's string DSL
     hyperparams: str | None = None
     static_hyperparams: str | None = None

@@ -24,12 +24,20 @@ from clsurvey_tpu.methods.base import UpdateRule
 from clsurvey_tpu.utils import io, paths as paths_lib
 
 
+def _eval_split(manager, task_data):
+    """Pick the evaluated split (``--test_set``,
+    ref:src/framework/main.py:74 + inference.py subset arg)."""
+    subset = getattr(manager.args, "test_set", "test")
+    return getattr(task_data, subset)
+
+
 def default_inference_eval(manager, model, ref_task: int) -> float:
-    """Load a trained model dict and evaluate ref_task's test split with
+    """Load a trained model dict and evaluate ref_task's chosen split with
     ref_task's head (ref:src/framework/inference.py:8-87 +
     ref:src/methods/method.py:1066-1087). Engines are cached per ref task
     so the (task x model) matrix compiles each eval shape once."""
     task_data = manager.dataset.get_task_dataset(ref_task)
+    split = _eval_split(manager, task_data)
     counts = np.asarray(model["heads"]["class_counts"])
     n_tasks = max(ref_task, int(model["meta"].get("n_tasks", ref_task)))
     cache_key = ("eval_engine", ref_task, n_tasks)
@@ -51,8 +59,7 @@ def default_inference_eval(manager, model, ref_task: int) -> float:
     acc, per_class_c, per_class_t = engine.evaluate(
         trainable, jax.tree_util.tree_map(jnp.asarray,
                                           model.get("batch_stats", {})),
-        jnp.asarray(task_data.test.images), jnp.asarray(
-            task_data.test.labels),
+        jnp.asarray(split.images), jnp.asarray(split.labels),
         manager.args.batch_size)
     # per-class counters: printed by the reference per eval
     # (ref:src/framework/inference.py:60-80) and stashed for the result
@@ -104,7 +111,11 @@ def eval_task_steps_accuracy(args, manager, ref_task: int,
 def eval_all_models_all_tasks(args, manager, model_paths: list,
                               out_dir: str) -> list:
     results = []
-    for ref_task in range(1, len(model_paths) + 1):
+    # eval range control (ref:src/framework/eval.py:156:
+    # range(test_starting_task_count - 1, test_max_task_count))
+    t_start = getattr(args, "test_starting_task_count", 1) or 1
+    t_max = getattr(args, "test_max_task_count", None) or len(model_paths)
+    for ref_task in range(t_start, min(t_max, len(model_paths)) + 1):
         # the reference names artifacts by 0-based dataset_index
         # (ref:src/utilities/utils.py:220-228 get_perf_output_filename)
         out_path = os.path.join(
@@ -165,10 +176,17 @@ def eval_single_model_all_tasks(args, manager, model_path, out_dir: str
     batch_stats = jax.tree_util.tree_map(
         jnp.asarray, model.get("batch_stats", {}))
     seq_res: list = []
+    t_start = getattr(args, "test_starting_task_count", 1) or 1
+    t_max = (getattr(args, "test_max_task_count", None)
+             or manager.dataset.task_count)
     for ref_task in range(1, manager.dataset.task_count + 1):
         td = manager.dataset.get_task_dataset(ref_task)
         ncls = td.num_classes
         lo = offset
+        if not (t_start <= ref_task <= t_max):
+            offset += ncls  # class offsets still advance outside the range
+            continue
+        split = _eval_split(manager, td)
 
         def predict(ctx_, tr, feats, lo=lo, ncls=ncls):
             logits = ctx_.task_logits(tr, feats)
@@ -177,8 +195,8 @@ def eval_single_model_all_tasks(args, manager, model_path, out_dir: str
             return jnp.where(mask, logits, -1e10)
 
         acc, _, _ = engine.evaluate(
-            trainable, batch_stats, jnp.asarray(td.test.images),
-            jnp.asarray(td.test.labels + lo), args.batch_size,
+            trainable, batch_stats, jnp.asarray(split.images),
+            jnp.asarray(split.labels + lo), args.batch_size,
             predict=predict,
             n_counter_classes=int(np.max(counts)))
         seq_res.append(acc * 100.0)
@@ -201,7 +219,8 @@ def main(args, manager, ds_paths, model_paths):
     """ref:src/framework/eval.py:11-66."""
     out_dir = paths_lib.get_test_results_path(
         manager.dataset.name, manager.method.eval_name,
-        manager.model_spec.name, manager.gridsearch_name, manager.exp_name)
+        manager.model_spec.name, manager.gridsearch_name, manager.exp_name,
+        subset=getattr(args, "test_set", "test"))
     if hasattr(manager.method, "eval_model_preprocessing"):
         model_paths = manager.method.eval_model_preprocessing(
             args, manager, model_paths)

@@ -196,6 +196,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--debug", action="store_true")
     p.add_argument("--profile", action="store_true")
     p.add_argument("--cleanup_exp", action="store_true")
+    p.add_argument("--test_set", default="test",
+                   choices=("test", "val", "train"),
+                   help="evaluated split (ref:src/framework/main.py:74); "
+                        "non-test results land in <exp>_<subset> dirs")
+    p.add_argument("--test_starting_task_count", type=int, default=1,
+                   help="first ref task to evaluate "
+                        "(ref:src/framework/main.py:72)")
+    p.add_argument("--test_max_task_count", type=int, default=None,
+                   help="last ref task to evaluate "
+                        "(ref:src/framework/main.py:71)")
     p.add_argument("--test_overwrite_mode", action="store_true",
                    help="recompute eval artifacts / IMM merge caches even "
                         "if present (ref:src/framework/main.py:37)")

@@ -85,9 +85,13 @@ def get_test_results_path(
     grid_name: str,
     exp_name: str,
     create: bool = True,
+    subset: str = "test",
 ) -> str:
-    """ref:src/utilities/utils.py:202-232 path shape."""
+    """ref:src/utilities/utils.py:166-183 path shape; evaluating a
+    non-test split suffixes the experiment dir (ref:utils.py:178-179)."""
     cfg = load_config()
+    if subset != "test":
+        exp_name = f"{exp_name}_{subset}"
     path = os.path.join(
         cfg.test_results_root_path, "results", ds_name, eval_name, model_name,
         grid_name, exp_name,

@@ -104,3 +104,29 @@ def test_joint_baseline(fresh_config):
         out_dir, "test_method_performancesJOINT_FULL_BATCH.pth"))
     assert len(res["joint"]["seq_res"]) == 2
     assert res["joint"]["seq_res"][0] > 50.0
+
+
+def test_eval_split_and_range_control(fresh_config):
+    """--test_set / --test_starting_task_count / --test_max_task_count
+    (ref:src/framework/main.py:71-74, eval.py:121,156, utils.py:178-179:
+    non-test subsets land in <exp>_<subset> result dirs)."""
+    args = RunArgs(
+        model_name="tiny_CNN_cl_32_32", ds_name="synthetic_2t_4c_32px",
+        method_name="finetuning", num_epochs=4, batch_size=32,
+        lr_grid=(1e-2,), gridsearch_name="testgrid", test=True,
+        test_set="val", test_max_task_count=1)
+    manager = run_main(args)
+    from clsurvey_tpu.utils import paths as paths_lib
+
+    out_dir = paths_lib.get_test_results_path(
+        "synthetic_2t_4c_32px", "finetuning", "tiny_CNN_cl_32_32",
+        "testgrid", manager.exp_name, create=False, subset="val")
+    assert out_dir.endswith("_val")
+    # only ref task 1 evaluated (test_max_task_count=1)
+    assert os.path.isfile(os.path.join(
+        out_dir, "test_method_performancesfinetuning0.pth"))
+    assert not os.path.isfile(os.path.join(
+        out_dir, "test_method_performancesfinetuning1.pth"))
+    res = io.load(os.path.join(
+        out_dir, "test_method_performancesfinetuning0.pth"))
+    assert len(res["finetuning"]["seq_res"][0]) == 2  # models 1 and 2
