@@ -74,11 +74,17 @@ class RecogSeqSequence(TaskSequence):
         self.classes_per_task = {}
         for t in range(1, self.task_count + 1):
             path = os.path.join(self._root, f"task_{t}.npz")
+            # keyed by taskname (the dataset), the reference's convention
+            # and what registry.class_count_list looks up
             if os.path.isfile(path):
                 with np.load(path) as z:
-                    self.classes_per_task[str(t)] = len(z["classes"])
+                    self.classes_per_task[self.get_taskname(t)] = len(
+                        z["classes"])
+                    # trust the prepared bundles' resolution (tests
+                    # prepare reduced-size trees)
+                    self.input_size = tuple(z["train_images"].shape[1:3])
             else:
-                self.classes_per_task[str(t)] = 0
+                self.classes_per_task[self.get_taskname(t)] = 0
 
     def get_taskname(self, task: int) -> str:
         return TASKS[task - 1]

@@ -94,13 +94,23 @@ def eval_task_steps_accuracy(args, manager, ref_task: int,
     for trained_idx in range(ref_task, len(model_paths) + 1):
         model_path = model_paths[trained_idx - 1]
         manager.extras.pop("last_per_class", None)
-        if hasattr(manager.method, "inference_eval"):
-            acc = manager.method.inference_eval(
-                manager, model_path, ref_task, trained_idx)
-        else:
-            acc = default_inference_eval(
-                manager, io.load(model_path) if isinstance(model_path, str)
-                else model_path, ref_task)
+        try:
+            if hasattr(manager.method, "inference_eval"):
+                acc = manager.method.inference_eval(
+                    manager, model_path, ref_task, trained_idx)
+            else:
+                acc = default_inference_eval(
+                    manager,
+                    io.load(model_path) if isinstance(model_path, str)
+                    else model_path, ref_task)
+        except Exception:
+            # a broken model aborts only the remaining models of this ref
+            # task; the partial sequence is kept
+            # (ref:src/framework/eval.py:240-247)
+            print(f"ERROR in Testing model, trained until TASK "
+                  f"{trained_idx}")
+            traceback.print_exc()
+            break
         print(f"  ref_task {ref_task} @ model {trained_idx}: acc={acc:.4f}")
         seq_res.append(acc * 100.0)  # reference stores percentages
         seq_per_class.append(manager.extras.pop("last_per_class", None))

@@ -181,4 +181,74 @@ def test_recogseq_prepare_synthetic_tree(tmp_path, monkeypatch):
         assert td.val.size == 9 * ncls
         assert td.test.size == 1 * ncls
     # unequal class counts surface through the registry metadata
-    assert seq.classes_per_task["1"] == 2 and seq.classes_per_task["3"] == 4
+    assert seq.classes_per_task["flowers"] == 2
+    assert seq.classes_per_task["birds"] == 4
+
+
+def test_inat_sequence_through_framework(fresh_config, monkeypatch):
+    """The real iNaturalist TaskSequence drives the full framework
+    (train + eval) over a reduced-size prepared tree — the BASELINE
+    config-5 dataset path, not the synthetic stand-in."""
+    from clsurvey_tpu.data import inaturalist as inat
+
+    monkeypatch.setattr(inat, "MIN_IMAGES_PER_CLASS", 3)
+    monkeypatch.setattr(inat, "IMG_SIZE", 32)
+    raw = fresh_config.ds_root_path + "/raw"
+    for sc in inat.ORDER_UNREL:
+        for sp in ("sp_a", "sp_b", "sp_c"):
+            d = os.path.join(raw, sc, sp)
+            os.makedirs(d)
+            for j in range(8):
+                _write_png(os.path.join(d, f"{j}.png"),
+                           hash(sc + sp) % 200 + 17 * j)
+    inat.prepare(raw, fresh_config.ds_root_path)
+    # only 2 tasks prepared -> cap the loop there
+    from clsurvey_tpu.framework.common import RunArgs
+    from clsurvey_tpu.framework.main import main as run_main
+    from tests.helpers import load_seq_res
+    from clsurvey_tpu.utils import paths as paths_lib
+
+    manager = run_main(RunArgs(
+        model_name="tiny_CNN_cl_32_32", ds_name="inat",
+        method_name="finetuning", num_epochs=4, batch_size=8,
+        lr_grid=(1e-2,), gridsearch_name="testgrid", max_task_count=2,
+        test=True))
+    assert manager.dataset.input_size == (32, 32)
+    assert manager.dataset.get_taskname(1) == "Amphibia"
+    out_dir = paths_lib.get_test_results_path(
+        "inat", "finetuning", "tiny_CNN_cl_32_32", "testgrid",
+        manager.exp_name, create=False)
+    assert len(load_seq_res(out_dir, "finetuning", 1)) == 2
+
+
+def test_recogseq_sequence_through_framework(fresh_config, monkeypatch):
+    """RecogSeq TaskSequence (unequal class counts) through the framework."""
+    from clsurvey_tpu.data import recogseq as rs
+
+    monkeypatch.setattr(rs, "IMG_SIZE", 32)
+    raw = fresh_config.ds_root_path + "/raw"
+    for k, name in enumerate(rs.TASKS):
+        ncls = 2 + (k % 2)  # flowers: 2 classes, scenes: 3 classes, ...
+        for c in range(ncls):
+            for split, n in (("train", 6), ("test", 10)):
+                d = os.path.join(raw, name, split, f"cls{c}")
+                os.makedirs(d)
+                for j in range(n):
+                    _write_png(os.path.join(d, f"{j}.png"), 31 * k + 7 * c + j)
+    rs.prepare(raw, fresh_config.ds_root_path)
+    from clsurvey_tpu.framework.common import RunArgs
+    from clsurvey_tpu.framework.main import main as run_main
+    from tests.helpers import load_seq_res
+    from clsurvey_tpu.utils import paths as paths_lib
+
+    manager = run_main(RunArgs(
+        model_name="tiny_CNN_cl_32_32", ds_name="recogseq",
+        method_name="finetuning", num_epochs=4, batch_size=8,
+        lr_grid=(1e-2,), gridsearch_name="testgrid", max_task_count=2,
+        test=True))
+    assert manager.dataset.classes_per_task["flowers"] == 2
+    assert manager.dataset.classes_per_task["scenes"] == 3
+    out_dir = paths_lib.get_test_results_path(
+        "recogseq", "finetuning", "tiny_CNN_cl_32_32", "testgrid",
+        manager.exp_name, create=False)
+    assert len(load_seq_res(out_dir, "recogseq" and "finetuning", 1)) == 2
