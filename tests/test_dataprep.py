@@ -252,3 +252,28 @@ def test_recogseq_sequence_through_framework(fresh_config, monkeypatch):
         "recogseq", "finetuning", "tiny_CNN_cl_32_32", "testgrid",
         manager.exp_name, create=False)
     assert len(load_seq_res(out_dir, "recogseq" and "finetuning", 1)) == 2
+
+
+def test_tiny_sequence_through_framework(fresh_config, raw_tree):
+    """The real Tiny-ImageNet TaskSequence (survey ordering, 20 classes/
+    task) drives the framework end-to-end over a prepared fake tree."""
+    root, wnids = raw_tree
+    tiny.prepare(str(root), fresh_config.ds_root_path, task_count=10)
+    from clsurvey_tpu.framework.common import RunArgs
+    from clsurvey_tpu.framework.main import main as run_main
+    from tests.helpers import load_seq_res
+    from clsurvey_tpu.utils import paths as paths_lib
+
+    manager = run_main(RunArgs(
+        model_name="tiny_CNN_cl_32_32", ds_name="tiny",
+        method_name="finetuning", num_epochs=3, batch_size=20,
+        lr_grid=(1e-2,), gridsearch_name="testgrid", max_task_count=2,
+        test=True))
+    assert manager.dataset.classes_per_task["1"] == 20
+    # the first task trains on the survey ordering's first 20 wnids
+    td = manager.dataset.get_task_dataset(1)
+    assert list(td.classes) == wnids[:20]
+    out_dir = paths_lib.get_test_results_path(
+        "tiny", "finetuning", "tiny_CNN_cl_32_32", "testgrid",
+        manager.exp_name, create=False)
+    assert len(load_seq_res(out_dir, "finetuning", 1)) == 2
