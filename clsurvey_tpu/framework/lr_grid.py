@@ -114,6 +114,13 @@ def lr_grid_single_task(args, manager, save_models_mode: str = "keep_none"):
 
     manager.extras["best_exp_grid_node_dirname"] = best_dir
     log_line(f"FINETUNE DONE: best_lr={best_lr}, best_acc={best_acc:.4f}")
+    if best_lr is None:
+        # every grid point diverged/NaN'd — fail this task cleanly (the
+        # task loop catches RuntimeError and keeps earlier tasks' results)
+        # instead of handing Phase 2 a None lr
+        raise RuntimeError(
+            f"LR grid found no usable lr for task {manager.task_counter} "
+            f"(all candidates reached accuracy 0)")
 
     if hasattr(manager.method, "grid_poststep"):
         manager.method.grid_poststep(args, manager)

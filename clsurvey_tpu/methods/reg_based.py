@@ -104,9 +104,15 @@ class SIRule(QuadRegRule):
 def si_consolidate(prev_params, aux):
     """omega += max(w / ((theta_end - theta_init)^2 + xi), 0); reset w;
     theta_star moves to the finished task's params
-    (ref:src/methods/SI/train_SI.py:301-364)."""
+    (ref:src/methods/SI/train_SI.py:301-364).
+
+    Non-finite contributions are dropped: the reference's NaN guard kills
+    the whole process instead (train_SI.py:242-244 exit(-1)); our decay
+    framework retries with smaller lambda, which only helps if the carried
+    omega stays finite."""
     def upd(om, w, th_end, th_init):
         this = w / ((th_end - th_init) ** 2 + SI_XI)
+        this = jnp.where(jnp.isfinite(this), this, 0.0)
         return om + jnp.maximum(this, 0.0)
 
     omega = jax.tree_util.tree_map(

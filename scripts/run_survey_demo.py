@@ -108,7 +108,26 @@ def postprocess(ds_name: str, out_base: str):
     hp_table = post.print_hyperparam_table(entries)
     with open(out_base + "_summary.txt", "w") as f:
         f.write(summary + "\n\n" + hp_table + "\n")
+    _write_markdown(entries, out_base)
     return entries, summary
+
+
+def _write_markdown(entries, out_base: str):
+    """Render the summary as a Markdown results table next to the figs."""
+    lines = [
+        "# Survey demo — all methods through the full pipeline", "",
+        "| method | exp | avg acc (final model) | avg forgetting |",
+        "|---|---|---|---|",
+    ]
+    for e in sorted(entries, key=lambda e: -e.avg_acc):
+        forg = "n/a" if e.single_dot else f"{e.avg_forgetting:.2f}"
+        lines.append(f"| {e.eval_name} | {e.exp_name} | "
+                     f"{e.avg_acc:.2f} | {forg} |")
+    name = os.path.basename(out_base)
+    lines += ["", f"![accuracy curves]({name}_acc.png)", "",
+              f"![forgetting curves]({name}_forgetting.png)", ""]
+    with open(out_base + ".md", "w") as f:
+        f.write("\n".join(lines))
 
 
 def main(argv=None):

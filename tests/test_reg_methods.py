@@ -218,3 +218,26 @@ def test_si_dump_then_ewc_sequence(fresh_config):
         manager.exp_name, create=False)
     assert os.path.isfile(os.path.join(
         out_dir, "test_method_performancesEWC0.pth"))
+
+
+def test_si_consolidate_stays_finite():
+    """A diverged attempt (NaN/Inf w) must not poison the carried omega
+    (the reference exits the process on NaN instead,
+    ref:src/methods/SI/train_SI.py:242-244)."""
+    import jax.numpy as jnp
+
+    from clsurvey_tpu.methods.reg_based import si_consolidate
+
+    prev = {"k": jnp.array([1.0, 2.0, 3.0])}
+    aux = {
+        "omega": {"k": jnp.array([0.5, 0.5, 0.5])},
+        "theta_star": {"k": jnp.array([1.0, 1.5, 3.0])},
+        "w": {"k": jnp.array([jnp.nan, jnp.inf, 0.004])},
+    }
+    omega = si_consolidate(prev, aux)
+    got = np.asarray(omega["k"])
+    assert np.all(np.isfinite(got))
+    # the healthy entry still accumulates: 0.5 + 0.004/(0+1e-3)
+    np.testing.assert_allclose(got[2], 0.5 + 0.004 / 1e-3, rtol=1e-5)
+    # poisoned entries contribute nothing
+    np.testing.assert_allclose(got[:2], [0.5, 0.5])
