@@ -73,6 +73,20 @@ def save_task_npz(out_dir: str, task: int, train: SplitData, val: SplitData,
     return path
 
 
+def npz_member_shape(path: str, name: str) -> tuple:
+    """Shape of one array inside an npz WITHOUT decompressing its data —
+    reads just the .npy header from the zip member (dataset __init__ needs
+    per-task class counts/resolutions at every CLI start; decompressing
+    gigabytes of images for two integers is not acceptable)."""
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        with zf.open(name + ".npy") as f:
+            version = np.lib.format.read_magic(f)
+            shape, _, _ = np.lib.format._read_array_header(f, version)
+    return shape
+
+
 def load_task_npz(path: str):
     from clsurvey_tpu.data.registry import TaskData
 

@@ -77,12 +77,12 @@ class RecogSeqSequence(TaskSequence):
             # keyed by taskname (the dataset), the reference's convention
             # and what registry.class_count_list looks up
             if os.path.isfile(path):
-                with np.load(path) as z:
-                    self.classes_per_task[self.get_taskname(t)] = len(
-                        z["classes"])
-                    # trust the prepared bundles' resolution (tests
-                    # prepare reduced-size trees)
-                    self.input_size = tuple(z["train_images"].shape[1:3])
+                self.classes_per_task[self.get_taskname(t)] = int(
+                    imf.npz_member_shape(path, "classes")[0])
+                # trust the prepared bundles' resolution (tests prepare
+                # reduced-size trees); header-read only, no decompression
+                self.input_size = tuple(
+                    imf.npz_member_shape(path, "train_images")[1:3])
             else:
                 self.classes_per_task[self.get_taskname(t)] = 0
 

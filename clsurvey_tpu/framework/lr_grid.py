@@ -59,12 +59,15 @@ def lr_grid_single_task(args, manager, save_models_mode: str = "keep_none"):
     lrs = (args.boot_lr_grid if (manager.task_counter == 1
                                  and args.boot_lr_grid) else args.lr_grid)
 
-    best_acc, best_lr = 0.0, None
+    # -1 so the first candidate wins even at 0.0 accuracy — a degenerate
+    # grid must still select an lr (the reference's >0.0 tracking leaves
+    # best_lr None there and crashes in Phase 2, framework_train.py:76)
+    best_acc, best_lr = -1.0, None
     best_dir = None
     best_batch_dirs: list[str] = []
     for lr in lrs:
         accum_acc = 0.0
-        best_it_acc, best_it_dir = 0.0, None
+        best_it_acc, best_it_dir = -1.0, None
         iteration_dirs = []
         if lr not in processed:
             processed[lr] = {"acc": []}
@@ -114,13 +117,9 @@ def lr_grid_single_task(args, manager, save_models_mode: str = "keep_none"):
 
     manager.extras["best_exp_grid_node_dirname"] = best_dir
     log_line(f"FINETUNE DONE: best_lr={best_lr}, best_acc={best_acc:.4f}")
-    if best_lr is None:
-        # every grid point diverged/NaN'd — fail this task cleanly (the
-        # task loop catches RuntimeError and keeps earlier tasks' results)
-        # instead of handing Phase 2 a None lr
+    if best_lr is None:  # unreachable safety net: never hand Phase 2 None
         raise RuntimeError(
-            f"LR grid found no usable lr for task {manager.task_counter} "
-            f"(all candidates reached accuracy 0)")
+            f"LR grid selected no lr for task {manager.task_counter}")
 
     if hasattr(manager.method, "grid_poststep"):
         manager.method.grid_poststep(args, manager)

@@ -170,29 +170,45 @@ def collect(entry: ExperimentDataEntry, max_task_count: int | None = None
         entry.task_count = T
         return entry
 
-    # per-directory filename convention: 0-based if task 1's file is
-    # named ...0.pth, else legacy 1-based
-    base = os.path.join(entry.results_dir,
-                        f"test_method_performances{entry.eval_name}")
-    offset = 0 if io.exists(f"{base}0.pth") else 1
-    t = 1
+    # collect the 0-based per-task files actually present (a restricted
+    # --test_starting_task_count run may not include index 0; a partial
+    # eval may stop early — neither should shift or truncate other tasks)
+    import re
+
+    prefix = f"test_method_performances{entry.eval_name}"
+    pat = re.compile(re.escape(prefix) + r"(\d+)\.pth$")
+    indices = sorted(
+        int(m.group(1)) for m in
+        (pat.fullmatch(fn) for fn in (os.listdir(entry.results_dir)
+                                      if os.path.isdir(entry.results_dir)
+                                      else []))
+        if m)
+    if max_task_count:
+        indices = [i for i in indices if i < max_task_count]
     acc_raw = {}
-    while True:
-        path = f"{base}{t - 1 + offset}.pth"
-        if not io.exists(path) or (max_task_count and t > max_task_count):
-            break
-        res = io.load(path)[entry.eval_name]
+    for idx in indices:
+        res = io.load(os.path.join(entry.results_dir,
+                                   f"{prefix}{idx}.pth"))[entry.eval_name]
         key = "seq_head_acc" if entry.between_head_acc else "seq_res"
-        acc_raw[t] = res[key]
-        t += 1
-    taskcount = t - 1
+        acc_raw[idx + 1] = res[key]
+    # the sequence length is implied by the longest series (task i's
+    # series has taskcount-i entries when eval completed), never by the
+    # number of files found
+    taskcount = max(
+        [idx - 1 + len(_unwrap_series(raw, 0, 10 ** 9))
+         for idx, raw in acc_raw.items()], default=0)
     for t in sorted(acc_raw):
         series = _unwrap_series(acc_raw[t], t - 1, taskcount)
+        if not series:
+            continue
         entry.seq_acc[t] = series
         # forgetting recomputed from the accuracy series, like the
         # reference (ref:main_postprocessing.py:354-358)
         entry.seq_forgetting[t] = [series[0] - v for v in series[1:]]
-    entry.task_count = taskcount
+    # entries whose chosen metric is empty everywhere (e.g.
+    # between_head_acc over artifacts that never populate seq_head_acc)
+    # must not survive the collected filter
+    entry.task_count = taskcount if entry.seq_acc else 0
     return entry
 
 

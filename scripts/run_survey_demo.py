@@ -97,9 +97,14 @@ def postprocess(ds_name: str, out_base: str):
         method_entries = post.collect_gridsearch_exp_entries(
             cfg.test_results_root_path, ds_name, name, MODEL, GRID)
         entries.extend(method_entries)
+    from clsurvey_tpu import methods as methods_lib
+
     counts: dict = {}
     for e in entries:
-        post.collect_hyperparams(e, e.eval_name, hyperparams_counts=counts)
+        # the TRAIN tree is keyed by method.name (IMM variants share one,
+        # eval_name differs)
+        method_name = methods_lib.parse(e.eval_name).name
+        post.collect_hyperparams(e, method_name, hyperparams_counts=counts)
     post.pad_hyperparams(entries, counts)
     os.makedirs(os.path.dirname(out_base) or ".", exist_ok=True)
     summary = post.analyze_experiments(
@@ -144,6 +149,7 @@ def main(argv=None):
     ap.add_argument("--postprocess_only", action="store_true")
     a = ap.parse_args(argv)
     ds_name = f"synthetic_{a.tasks}t_{a.classes}c_{a.px}px"
+    os.makedirs(os.path.dirname(a.out) or ".", exist_ok=True)
     if not a.postprocess_only:
         only = set(a.methods.split(",")) if a.methods else None
         statuses = run_all(ds_name, a.epochs, a.batch_size, a.out,

@@ -11,6 +11,8 @@ from clsurvey_tpu.utilities.postprocessing import (
 
 
 def _write_results(root, method="EWC", tasks=3):
+    """Flat-list series with 0-based filenames — the other artifact shape
+    the reference's loader accepts (main_postprocessing.py:345-346)."""
     exp_dir = os.path.join(root, "results", "tiny", method,
                            "small_VGG9_cl_128_128", "grid", "lambda=400")
     os.makedirs(exp_dir, exist_ok=True)
@@ -22,7 +24,7 @@ def _write_results(root, method="EWC", tasks=3):
             "seq_forgetting": [seq[0] - a for a in seq[1:]],
             "seq_head_acc": [],
         }}, os.path.join(exp_dir,
-                         f"test_method_performances{method}{t}.pth"))
+                         f"test_method_performances{method}{t - 1}.pth"))
     return exp_dir
 
 
@@ -206,3 +208,39 @@ def test_entry_filters(tmp_path):
         **kw)
     assert styled[0].label == "EWC[lambda=400]"
     assert [e.color for e in styled] == ["red", "blue"]
+
+
+def test_collect_restricted_range_and_partial_eval(tmp_path):
+    """Artifacts from --test_starting_task_count 2 (no index-0 file) and
+    partial evals (later files missing) must map each file to its true
+    ref task and never truncate complete series."""
+    exp_dir = os.path.join(str(tmp_path), "results", "tiny", "EWC",
+                           "small_VGG9_cl_128_128", "grid", "lambda=400")
+    os.makedirs(exp_dir)
+    # 5-task sequence, eval started at ref task 2, stopped after task 3:
+    # files 1.pth (4 models) and 2.pth (3 models) only
+    io.save({"EWC": {"seq_res": {1: [70.0, 65.0, 60.0, 55.0]},
+                     "seq_forgetting": {1: []}, "seq_head_acc": []}},
+            os.path.join(exp_dir, "test_method_performancesEWC1.pth"))
+    io.save({"EWC": {"seq_res": {2: [80.0, 75.0, 72.0]},
+                     "seq_forgetting": {2: []}, "seq_head_acc": []}},
+            os.path.join(exp_dir, "test_method_performancesEWC2.pth"))
+    e = collect(ExperimentDataEntry(
+        "tiny", "EWC", "small_VGG9_cl_128_128", "grid", "lambda=400",
+        exp_dir))
+    assert e.task_count == 5  # implied by task 2 having 4 models
+    assert 1 not in e.seq_acc  # ref task 1 was not evaluated
+    assert e.seq_acc[2] == [70.0, 65.0, 60.0, 55.0]  # full, untruncated
+    assert e.seq_acc[3] == [80.0, 75.0, 72.0]
+    np.testing.assert_allclose(e.seq_forgetting[2], [5.0, 10.0, 15.0])
+
+
+def test_collect_between_head_acc_empty_is_filtered(tmp_path):
+    """seq_head_acc is always written empty (the reference never populates
+    it either) — a between_head_acc entry must not survive collection with
+    crash-prone empty series."""
+    _write_results(str(tmp_path))
+    entries = collect_gridsearch_exp_entries(
+        str(tmp_path), "tiny", "EWC", "small_VGG9_cl_128_128", "grid",
+        between_head_acc=True)
+    assert entries == []
