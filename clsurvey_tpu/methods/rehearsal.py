@@ -143,15 +143,22 @@ class GEMRule(UpdateRule):
         return state
 
     def _memory_grads(self, ctx, trainable, batch_stats, mstate, tt, rng):
-        """Sum of per-batch-mean CE grads over task tt's full buffer
-        (ref:gem.py:233-256 accumulates backward over memory batches)."""
+        """Gradient of the MEAN CE over task tt's full buffer, accumulated
+        in mem_batch chunks. Chunk-size invariant and remainder-complete:
+        the last chunk re-slices from M-mb (dynamic_slice clamp) with the
+        overlap masked out, and every chunk divides by the global valid
+        count — unlike a sum of per-chunk means, whose magnitude grows
+        with the chunk count and silently drops M % mb exemplars (that
+        inflated gradient overpowers the fixed v>=margin QP bound and
+        collapses training; see DEVIATIONS.md — the reference accumulates
+        per-batch means, ref:gem.py:233-256)."""
         mem = mstate["memory"]
         imgs = mem["mem_images"][tt]
         lbls = mem["mem_labels"][tt]
         n_valid = mem["mem_count"][tt]
         M = imgs.shape[0]
         mb = min(M, self.mem_batch)
-        nb = M // mb
+        nb = -(-M // mb)  # ceil: include the remainder chunk
         import optax
 
         def batch_grads(tr, x_u8, y, w):
@@ -163,15 +170,16 @@ class GEMRule(UpdateRule):
                 logits = heads_lib.forward(ctx.bank(tr), feats, tt)
                 ce = optax.softmax_cross_entropy_with_integer_labels(
                     logits, y)
-                return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+                return jnp.sum(ce * w) / jnp.maximum(n_valid, 1)
 
             return jax.grad(loss_fn)(tr)
 
         def body(acc, i):
-            sl = jax.lax.dynamic_slice_in_dim(imgs, i * mb, mb)
-            yl = jax.lax.dynamic_slice_in_dim(lbls, i * mb, mb)
-            idxs = i * mb + jnp.arange(mb)
-            w = (idxs < n_valid).astype(jnp.float32)
+            start = jnp.minimum(i * mb, M - mb)
+            sl = jax.lax.dynamic_slice_in_dim(imgs, start, mb)
+            yl = jax.lax.dynamic_slice_in_dim(lbls, start, mb)
+            idxs = start + jnp.arange(mb)
+            w = ((idxs >= i * mb) & (idxs < n_valid)).astype(jnp.float32)
             g = batch_grads(trainable, sl, yl, w)
             return jax.tree_util.tree_map(jnp.add, acc, g), None
 
@@ -195,15 +203,20 @@ class GEMRule(UpdateRule):
         tasks = jnp.arange(t)
         M = imgs.shape[1]
         mb = min(M, self.mem_batch)
-        nb = M // mb
+        nb = -(-M // mb)  # ceil: include the remainder chunk
         import optax
 
         def one_task(task_imgs, task_lbls, n_valid, task_idx):
             def body(acc, i):
-                sl = jax.lax.dynamic_slice_in_dim(task_imgs, i * mb, mb)
-                yl = jax.lax.dynamic_slice_in_dim(task_lbls, i * mb, mb)
-                idxs = i * mb + jnp.arange(mb)
-                w = (idxs < n_valid).astype(jnp.float32)
+                # full-buffer MEAN in chunk-size-invariant form: clamped
+                # remainder slice with overlap masked, global-count divisor
+                # (see _memory_grads)
+                start = jnp.minimum(i * mb, M - mb)
+                sl = jax.lax.dynamic_slice_in_dim(task_imgs, start, mb)
+                yl = jax.lax.dynamic_slice_in_dim(task_lbls, start, mb)
+                idxs = start + jnp.arange(mb)
+                w = ((idxs >= i * mb)
+                     & (idxs < n_valid)).astype(jnp.float32)
 
                 def loss_fn(tr):
                     rng_pre, rng_d = jax.random.split(rng)
@@ -220,7 +233,7 @@ class GEMRule(UpdateRule):
                     logits = jnp.where(mask, logits, NEG_INF)
                     ce = optax.softmax_cross_entropy_with_integer_labels(
                         logits, yl)
-                    return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+                    return jnp.sum(ce * w) / jnp.maximum(n_valid, 1)
 
                 g = jax.grad(loss_fn)(trainable)
                 return jax.tree_util.tree_map(jnp.add, acc, g), None
@@ -419,8 +432,10 @@ class GEM(Method):
 
     def train(self, args, manager, hyperparams):
         prev_model = io.load(manager.previous_task_model_path)
+        # mem_batch only chunks the buffer sweep (HBM bound); the memory
+        # gradient is the exact full-buffer mean regardless of chunk size
         rule = GEMRule(self._mem(),
-                       mem_batch=min(self._mem(), args.batch_size))
+                       mem_batch=min(self._mem(), 4 * args.batch_size))
         n_tasks_total = manager.dataset.task_count
         memory = _load_memory(
             prev_model,

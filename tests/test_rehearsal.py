@@ -162,3 +162,46 @@ def test_icarl_sequence(fresh_config):
     assert len(seq) == 2
     # NCM eval should be strong on this easy data
     assert seq[0] > 50.0
+
+
+def test_gem_memory_grads_chunk_invariant(fresh_config):
+    """The memory gradient is the exact full-buffer mean, independent of
+    mem_batch chunking (including a non-divisible remainder). A sum of
+    per-chunk means — the reference's accumulation, gem.py:233-256 —
+    scales with the chunk count, overpowers the fixed v>=margin QP bound
+    and collapses training (regression test for that bug)."""
+    from clsurvey_tpu.data import parse as parse_ds
+    from clsurvey_tpu.engine.train import make_context
+    from clsurvey_tpu.methods.base import UpdateRule
+    from clsurvey_tpu.methods.rehearsal import GEMRule
+    from clsurvey_tpu.models.registry import (init_model_state,
+                                              parse_model_name)
+
+    seq = parse_ds("synthetic_2t_4c_32px")
+    td = seq.get_task_dataset(1)
+    spec = parse_model_name(str(fresh_config.models_root_path),
+                            "tiny_CNN_cl_32_32", (32, 32))
+    sd = init_model_state(spec, jax.random.PRNGKey(0), max_tasks=2,
+                          classes_per_task=4)
+    trainable = jax.tree_util.tree_map(jnp.asarray, {
+        "params": sd["params"],
+        "heads": {"kernel": sd["heads"]["kernel"],
+                  "bias": sd["heads"]["bias"]}})
+
+    grads = {}
+    for mb in (48, 17, 20):  # 48 = single chunk; 17/20 chunk w/ remainder
+        rule = GEMRule(48, mem_batch=mb)
+        # augment OFF so chunking is the only difference
+        ctx = make_context(spec, task=1, n_tasks=2, class_counts=[4, 4],
+                           mean=seq.mean, std=seq.std, update_rule=rule,
+                           augment=False, mesh=None)
+        mem = fresh_task_memory(2, 48, (32, 32))
+        mem = ring_buffer_update(mem, 0, jnp.asarray(td.train.images[:37]),
+                                 jnp.asarray(td.train.labels[:37]))
+        ms = rule.init_state(trainable, {"margin": 1.0}, ctx, memory=mem)
+        G = rule._memory_grads_all(ctx, trainable, {}, ms,
+                                   jax.random.PRNGKey(3))
+        grads[mb] = np.asarray(G)
+    np.testing.assert_allclose(grads[17], grads[48], rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(grads[20], grads[48], rtol=1e-4, atol=1e-7)
+    assert np.abs(grads[48]).max() > 0  # non-trivial gradients
