@@ -113,6 +113,7 @@ def si_consolidate(prev_params, aux):
     def upd(om, w, th_end, th_init):
         this = w / ((th_end - th_init) ** 2 + SI_XI)
         this = jnp.where(jnp.isfinite(this), this, 0.0)
+        om = jnp.where(jnp.isfinite(om), om, 0.0)  # carried state too
         return om + jnp.maximum(this, 0.0)
 
     omega = jax.tree_util.tree_map(
