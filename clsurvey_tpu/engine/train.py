@@ -477,6 +477,13 @@ def train_task(engine: Engine, job: TrainJob, state: TrainState,
                 error_history = json.load(f).get("error_history", [])
         log(f"=> resumed epoch {start_epoch} lr={lr:g} best={best_acc:.4f}")
 
+    # host snapshot of the task-start model: the fallback for runs that
+    # never improve (a NaN-aborted final state is itself poisoned and must
+    # not chain into the next task)
+    init_model = model_state_dict(
+        ctx, state, meta={"task": ctx.task, "n_tasks": ctx.n_tasks,
+                          "failed_attempt": True})
+
     root_key = jax.random.PRNGKey(job.seed)
     for epoch in range(start_epoch, job.num_epochs):
         # early stop (ref:train_SGD.py:19-21: count > threshold)
@@ -552,7 +559,10 @@ def train_task(engine: Engine, job: TrainJob, state: TrainState,
             else:
                 io.save({**meta, **trees}, ckpt_path)
 
-    if best_model is None:  # zero-epoch or fully-failed runs
-        best_model = model_state_dict(
-            ctx, state, meta={"task": ctx.task, "n_tasks": ctx.n_tasks})
+    if best_model is None:  # zero-epoch or fully-failed (e.g. NaN) runs
+        best_model = init_model
+        if job.save_models_mode:
+            # downstream phases chain through best_model.pth.tar on disk;
+            # a retained-but-never-improved attempt must still leave one
+            io.save(best_model, best_path)
     return best_model, best_acc, state

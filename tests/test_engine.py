@@ -153,3 +153,34 @@ def test_tiny40_name_parsing():
     seq2 = TinyImagenetSequence("tiny_hardeasy", ds_root="/tmp/nonexistent")
     assert seq2.task_count == 10
     assert seq2._root.endswith("tiny_10tasks_hardeasy")
+
+
+def test_failed_run_persists_init_model(spec, tmp_path):
+    """A run that never improves (here: a NaN-diverging lr) must still
+    leave a finite best_model.pth.tar on disk — downstream tasks chain
+    through that file, and the post-NaN state itself is poisoned
+    (regression: EBLL task crash after a fully-NaN'd retained attempt)."""
+    seq = parse_ds("synthetic_2t_4c_32px")
+    td = seq.get_task_dataset(1)
+    state_dict = init_model_state(spec, jax.random.PRNGKey(2), max_tasks=2,
+                                  classes_per_task=4)
+    ctx = make_context(spec, task=0, n_tasks=1, class_counts=[4, 4],
+                       mean=seq.mean, std=seq.std, update_rule=UpdateRule())
+    engine = Engine(ctx)
+    rule = UpdateRule()
+    trainable = {"params": state_dict["params"],
+                 "heads": {"kernel": state_dict["heads"]["kernel"],
+                           "bias": state_dict["heads"]["bias"]}}
+    state = TrainState(trainable, {}, tree_zeros_like(trainable),
+                       rule.init_state(trainable, {}, ctx))
+    job = TrainJob(exp_dir=str(tmp_path / "failexp"), num_epochs=4,
+                   batch_size=32, lr=1e6)  # guaranteed divergence
+    best_model, best_acc, _ = train_task(engine, job, state, td,
+                                         log=lambda *a: None)
+    path = tmp_path / "failexp" / "best_model.pth.tar"
+    assert path.exists()
+    from clsurvey_tpu.utils import io as io_lib
+
+    saved = io_lib.load(str(path))
+    for leaf in jax.tree_util.tree_leaves(saved["params"]):
+        assert np.all(np.isfinite(np.asarray(leaf)))
