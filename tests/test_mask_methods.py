@@ -147,6 +147,68 @@ def test_hat_mask_back_blocks_prev_capacity():
             assert float(jnp.max(leaf["kernel"])) < 0.01
 
 
+def test_hat_mask_back_unions_multiple_prev_tasks():
+    """a^{<t} is the elementwise max over ALL previous tasks' gates
+    (ref:src/methods/HAT/approaches/hat.py:57-89): at task 2 a unit claimed
+    by either task 0 or task 1 is blocked, and the conv/fc weight views
+    block exactly the claimed-in x claimed-out region
+    (ref:src/methods/HAT/networks/vgg_hat.py:258-295)."""
+    from clsurvey_tpu.methods.hat import (
+        compute_mask_back, compute_mask_pre, make_hat_model)
+    from clsurvey_tpu.models.registry import parse_model_name
+
+    spec = parse_model_name("/tmp/m", "tiny_CNN_cl_16_16", (16, 16))
+    model = make_hat_model(spec, n_tasks=3)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 16, 16, 3)), 0, jnp.float32(1.0))
+
+    def claim(params, t0_half, t1_half):
+        """Task 0 claims one half of every layer's units, task 1 the
+        other (or the same) half; task 2 left untouched."""
+        params = dict(params)
+        for name in list(params):
+            if not name.startswith("emb_"):
+                continue
+            e = params[name]
+            n = e.shape[-1]
+            sl0 = slice(0, n // 2) if t0_half == 0 else slice(n // 2, n)
+            sl1 = slice(0, n // 2) if t1_half == 0 else slice(n // 2, n)
+            e = e.at[0].set(-6.0).at[0, sl0].set(6.0)
+            e = e.at[1].set(-6.0).at[1, sl1].set(6.0)
+            params[name] = e
+        return params
+
+    # disjoint halves: the union covers every unit -> everything blocked,
+    # even though each single previous task leaves half the net free
+    params = claim(variables["params"], 0, 1)
+    pre_t0_only = compute_mask_pre(model, params, task=1, smax=100.0)
+    assert all(float(jnp.min(mp)) < 0.01 for mp in pre_t0_only)
+    mask_pre = compute_mask_pre(model, params, task=2, smax=100.0)
+    for mp in mask_pre:
+        assert float(jnp.min(mp)) > 0.99
+    mask_back = compute_mask_back(model, params, mask_pre, (16, 16))
+    for name, leaf in mask_back.items():
+        if not name.startswith("emb_"):
+            assert float(jnp.max(leaf["kernel"])) < 0.01
+
+    # overlapping halves: both tasks claim the first half -> only
+    # first-half-in x first-half-out weights are blocked
+    params = claim(variables["params"], 0, 0)
+    mask_pre = compute_mask_pre(model, params, task=2, smax=100.0)
+    mask_back = compute_mask_back(model, params, mask_pre, (16, 16))
+    convs = sorted(n for n in mask_back if n.startswith("conv_")
+                   and int(n.split("_")[1]) > 0)
+    assert convs, "need a conv layer with a predecessor"
+    k = mask_back[convs[0]]["kernel"]  # (h, w, in, out)
+    n_in, n_out = k.shape[2], k.shape[3]
+    blocked = k[:, :, : n_in // 2, : n_out // 2]
+    free_out = k[:, :, :, n_out // 2:]  # unclaimed outputs: trainable
+    free_in = k[:, :, n_in // 2:, : n_out // 2]  # unclaimed inputs
+    assert float(jnp.max(blocked)) < 0.01
+    assert float(jnp.min(free_out)) > 0.99
+    assert float(jnp.min(free_in)) > 0.99
+
+
 ALEX_COMMON = dict(
     model_name="alexnet",
     ds_name="synthetic_2t_4c_64px",
