@@ -114,7 +114,7 @@ class EngineContext:
 def _default_pallas_preprocess() -> bool:
     env = os.environ.get("CLSURVEY_PALLAS_PREPROCESS")
     if env is not None:
-        return env not in ("0", "false", "")
+        return env.strip().lower() not in ("0", "false", "no", "off", "")
     return jax.default_backend() not in ("cpu",)
 
 

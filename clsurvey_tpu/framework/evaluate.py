@@ -209,7 +209,7 @@ def eval_single_model_all_tasks(args, manager, model_path, out_dir: str
             jnp.asarray(split.labels + lo), args.batch_size,
             predict=predict,
             n_counter_classes=int(np.max(counts)))
-        seq_res.append(acc * 100.0)
+        seq_res.append((ref_task - 1, acc * 100.0))
         results.append({"seq_res": [acc * 100.0], "seq_forgetting": [],
                         "seq_head_acc": []})
         offset += ncls
@@ -218,8 +218,15 @@ def eval_single_model_all_tasks(args, manager, model_path, out_dir: str
     # (ref:src/framework/eval.py:116-141 + utils.py:225-226); debug runs
     # never persist results (ref:eval.py:136-138)
     if not getattr(args, "debug", False):
+        if t_start <= 1 and t_max >= manager.dataset.task_count:
+            # full range: the reference's flat list, task 1 first
+            payload = [acc for _, acc in seq_res]
+        else:
+            # restricted range: a flat list would silently re-anchor at
+            # task 1 in every consumer — key by 0-based dataset_index
+            payload = {di: [acc] for di, acc in seq_res}
         io.save_compat(
-            {manager.method.eval_name: {"seq_res": seq_res}},
+            {manager.method.eval_name: {"seq_res": payload}},
             os.path.join(out_dir,
                          "test_method_performancesJOINT_FULL_BATCH.pth"))
     return results

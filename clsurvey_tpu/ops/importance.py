@@ -46,8 +46,27 @@ def _batched_indices(n: int, batch_size: int):
 # jitted estimator cache: flax modules hash by config, so identical
 # (backbone, task, shapes) across tasks/calls reuse one compiled scan
 # instead of recompiling per call (each `@jax.jit def run` wrapper is a
-# fresh cache)
-_RUN_CACHE: dict = {}
+# fresh cache). LRU-bounded: each entry pins its closure (ctx, XLA
+# executable), so a multi-method x multi-task sweep must not accumulate
+# one forever-live executable per (method, task, dataset shape).
+from collections import OrderedDict  # noqa: E402
+
+_RUN_CACHE: OrderedDict = OrderedDict()
+_RUN_CACHE_MAX = 8
+
+
+def _cache_get(key):
+    run = _RUN_CACHE.get(key)
+    if run is not None:
+        _RUN_CACHE.move_to_end(key)
+    return run
+
+
+def _cache_put(key, run):
+    _RUN_CACHE[key] = run
+    _RUN_CACHE.move_to_end(key)
+    while len(_RUN_CACHE) > _RUN_CACHE_MAX:
+        _RUN_CACHE.popitem(last=False)
 
 
 def ewc_fisher(ctx, params, batch_stats, heads_bank, task: int,
@@ -64,7 +83,7 @@ def ewc_fisher(ctx, params, batch_stats, heads_bank, task: int,
     class_counts = _np.asarray(heads_bank["class_counts"])
     key = ("ewc", ctx.backbone, task, tuple(images_u8.shape), batch_size,
            ctx.mean, ctx.std, bool(batch_stats), tuple(class_counts))
-    run = _RUN_CACHE.get(key)
+    run = _cache_get(key)
     if run is None:
         def run_impl(params, batch_stats, kernel, bias,
                      images_u8, labels, idx, w):
@@ -99,7 +118,7 @@ def ewc_fisher(ctx, params, batch_stats, heads_bank, task: int,
             return omega
 
         run = jax.jit(run_impl)
-        _RUN_CACHE[key] = run
+        _cache_put(key, run)
     return run(params, batch_stats, heads_bank["kernel"],
                heads_bank["bias"], images_u8, labels, idx, w)
 
@@ -131,7 +150,7 @@ def mas_importance(ctx, params, batch_stats, heads_bank, task: int,
     key = ("mas", ctx.backbone, task, tuple(images_u8.shape), chunk,
            ctx.mean, ctx.std, bool(batch_stats),
            tuple(_np.asarray(heads_bank["class_counts"])))
-    run = _RUN_CACHE.get(key)
+    run = _cache_get(key)
     if run is None:
         def run_impl(params, batch_stats, kernel, bias,
                      images_u8, idx, w):
@@ -165,7 +184,7 @@ def mas_importance(ctx, params, batch_stats, heads_bank, task: int,
             return omega
 
         run = jax.jit(run_impl)
-        _RUN_CACHE[key] = run
+        _cache_put(key, run)
     return run(params, batch_stats, heads_bank["kernel"],
                heads_bank["bias"], images_u8, idx, w)
 

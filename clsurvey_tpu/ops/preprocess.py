@@ -92,11 +92,16 @@ def normalize_pallas(images_u8: jnp.ndarray, scale: jnp.ndarray,
             break
     # sublane blocking: divisor of b, % 8 == 0 (or == b), fits budget
     budget_b = max(1, budget_bytes // max(block_n * bpe, 1))
-    block_b = b
+    block_b = None
     for d in range(min(b, budget_b), 0, -1):
         if b % d == 0 and (d % 8 == 0 or d == b):
             block_b = d
             break
+    if block_b is None:
+        # no batch divisor fits the VMEM budget (e.g. prime b > budget):
+        # a full-batch block would blow VMEM — let XLA handle it instead
+        x = images_u8.astype(jnp.float32) * scale - shift
+        return x.astype(dtype)
 
     out = pl.pallas_call(
         _norm_kernel,

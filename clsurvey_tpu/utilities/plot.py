@@ -68,6 +68,7 @@ def plot_line_horizontal_sequence(entries, save_img_path: str,
 
     fig, ax = plt.subplots(figsize=figsize)
     minor_pos, major_pos = [], []
+    legend_entries = []  # entries in the order their legend labels appear
     for i, t in enumerate(task_idxs):
         shift = i * T + t
         for idx, e in enumerate(entries):
@@ -80,15 +81,20 @@ def plot_line_horizontal_sequence(entries, save_img_path: str,
             y = np.asarray(data, dtype=float)
             if st["single_dot"]:  # e.g. Joint: final point only
                 x, y, st["markersize"] = x[-1:], y[-1:], 12
+            # label on the entry's FIRST plotted panel (not panel 0 — a
+            # restricted-range entry may have no task-1 series at all)
+            label = e.label if e not in legend_entries else None
+            if label is not None:
+                legend_entries.append(e)
             ax.plot(x, y, color=st["color"], linestyle=st["linestyle"],
                     marker=st["marker"], markersize=st["markersize"],
-                    linewidth=1.5,
-                    label=(e.label if i == 0 else None))
+                    linewidth=1.5, label=label)
         # panel background + gridline anchors (ref:plot.py:88-106)
         ax.axvspan(i * T + 0.1, (i + 1) * T - 0.1,
                    facecolor="whitesmoke", alpha=1.0)
         minor_pos.append(shift)
-        major_pos.append(int(i * T + T / 2 - 4))
+        # in-panel anchor, clamped inside the panel for short sequences
+        major_pos.append(i * T + max(0, min(T - 1, round(T / 2 - 4))))
 
     panel_labels = [f"T{t + 1}" for t in task_idxs]
     if labelmode == "major":
@@ -126,15 +132,17 @@ def plot_line_horizontal_sequence(entries, save_img_path: str,
     if leg is not None:
         handles = getattr(leg, "legend_handles",
                           getattr(leg, "legendHandles", []))
-        for idx, handle in enumerate(handles):
-            single = (idx < len(entries)
-                      and bool(getattr(entries[idx], "single_dot", False)))
+        # handles appear in label order == legend_entries order (NOT the
+        # entries list order: label-less entries produce no handle)
+        for handle, e in zip(handles, legend_entries):
+            single = bool(getattr(e, "single_dot", False))
             handle.set_linewidth(0.0 if single else 2.0)
 
     # twin top axis: which task each panel evaluates (ref:plot.py:191-208)
     ax_top = ax.twiny()
     ax_top.set_xlim(*ax.get_xlim())
-    ax_top.set_xticks([p + 5 for p in major_pos])
+    # panel centers for any T (the reference hardcodes its 10-task offsets)
+    ax_top.set_xticks([i * T + (T - 1) / 2.0 for i in range(len(task_idxs))])
     ax_top.set_xticklabels(panel_labels)
     ax_top.tick_params(axis="both", which="both", length=0)
     ax_top.tick_params(axis="x", which="major", labelsize=16)

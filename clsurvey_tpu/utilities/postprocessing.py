@@ -159,12 +159,20 @@ def collect(entry: ExperimentDataEntry, max_task_count: int | None = None
     363-370 reformat_single_sequence)."""
     joint_path = os.path.join(entry.results_dir, JOINT_FULL_BATCH_FILENAME)
     if io.exists(joint_path):
-        seq = _unwrap_series(io.load(joint_path)[entry.eval_name]["seq_res"],
-                             0, 10 ** 9)
-        T = len(seq) if max_task_count is None else min(len(seq),
-                                                        max_task_count)
-        for t in range(T):
-            curve = [seq[t]] * (T - t)
+        raw = io.load(joint_path)[entry.eval_name]["seq_res"]
+        if isinstance(raw, dict):
+            # restricted-range artifact: {0-based dataset_index: [acc]}
+            pairs = {int(k): (list(v)[0] if isinstance(v, (list, tuple))
+                              else v) for k, v in raw.items()}
+        else:
+            pairs = dict(enumerate(raw))
+        T = max(pairs) + 1 if pairs else 0
+        if max_task_count is not None:
+            T = min(T, max_task_count)
+        for t, acc in sorted(pairs.items()):
+            if t >= T:
+                continue
+            curve = [acc] * (T - t)
             entry.seq_acc[t + 1] = curve
             entry.seq_forgetting[t + 1] = [curve[0] - v for v in curve[1:]]
         entry.task_count = T
@@ -183,14 +191,25 @@ def collect(entry: ExperimentDataEntry, max_task_count: int | None = None
                                       if os.path.isdir(entry.results_dir)
                                       else []))
         if m)
-    if max_task_count:
-        indices = [i for i in indices if i < max_task_count]
     acc_raw = {}
+    src_idx = {}
     for idx in indices:
         res = io.load(os.path.join(entry.results_dir,
                                    f"{prefix}{idx}.pth"))[entry.eval_name]
         key = "seq_head_acc" if entry.between_head_acc else "seq_res"
-        acc_raw[idx + 1] = res[key]
+        # the artifact's own one-key {dataset_index: [...]} dict is the
+        # authority on which ref task it holds (ref:eval.py:178-180);
+        # the filename index is only a fallback for flat-list artifacts
+        # (this is what makes legacy 1-based-named files read correctly)
+        sr = res.get("seq_res")
+        di = (int(next(iter(sr))) if isinstance(sr, dict) and len(sr) == 1
+              else idx)
+        if max_task_count and di >= max_task_count:
+            continue
+        if di + 1 in acc_raw and src_idx[di + 1] == di:
+            continue  # canonically-named file already supplied this task
+        acc_raw[di + 1] = res[key]
+        src_idx[di + 1] = idx
     # the sequence length is implied by the longest series (task i's
     # series has taskcount-i entries when eval completed), never by the
     # number of files found

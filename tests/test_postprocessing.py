@@ -244,3 +244,101 @@ def test_collect_between_head_acc_empty_is_filtered(tmp_path):
         str(tmp_path), "tiny", "EWC", "small_VGG9_cl_128_128", "grid",
         between_head_acc=True)
     assert entries == []
+
+
+def test_collect_legacy_1based_filenames(tmp_path):
+    """Files named 1..T (an older run of this repo) whose dicts carry the
+    0-based {dataset_index: [...]} key must land on the right ref tasks —
+    the internal key is authoritative, not the filename."""
+    method = "EWC"
+    exp_dir = os.path.join(str(tmp_path), "results", "tiny", method,
+                           "small_VGG9_cl_128_128", "grid", "lambda=400")
+    os.makedirs(exp_dir, exist_ok=True)
+    tasks = 3
+    for t in range(1, tasks + 1):
+        seq = [80.0 - 5 * i for i in range(tasks - t + 1)]
+        io.save({method: {
+            "seq_res": {t - 1: seq},  # 0-based internal key ...
+            "seq_forgetting": {t - 1: [seq[0] - a for a in seq[1:]]},
+            "seq_head_acc": [],
+        }}, os.path.join(exp_dir,  # ... under a legacy 1-based filename
+                         f"test_method_performances{method}{t}.pth"))
+    entries = collect_gridsearch_exp_entries(
+        str(tmp_path), "tiny", method, "small_VGG9_cl_128_128", "grid")
+    assert len(entries) == 1
+    e = entries[0]
+    assert e.task_count == 3
+    assert sorted(e.seq_acc) == [1, 2, 3]
+    np.testing.assert_allclose(e.final_model_accs, [70.0, 75.0, 80.0])
+
+
+def test_collect_mixed_legacy_and_canonical_files(tmp_path):
+    """A dir holding BOTH a legacy 1-based file and a canonical 0-based
+    file for the same ref task must read each task exactly once, from the
+    canonically-named file."""
+    method = "EWC"
+    exp_dir = os.path.join(str(tmp_path), "results", "tiny", method,
+                           "small_VGG9_cl_128_128", "grid", "lambda=400")
+    os.makedirs(exp_dir, exist_ok=True)
+    # canonical file for ref task 2 (0-based index 1)
+    io.save({method: {"seq_res": {1: [75.0, 70.0]},
+                      "seq_forgetting": {1: [5.0]}, "seq_head_acc": []}},
+            os.path.join(exp_dir, f"test_method_performances{method}1.pth"))
+    # legacy-named duplicate of the SAME ref task, stale values
+    io.save({method: {"seq_res": {1: [99.0, 99.0]},
+                      "seq_forgetting": {1: [0.0]}, "seq_head_acc": []}},
+            os.path.join(exp_dir, f"test_method_performances{method}2.pth"))
+    # canonical file for ref task 3
+    io.save({method: {"seq_res": {2: [80.0]},
+                      "seq_forgetting": {2: []}, "seq_head_acc": []}},
+            os.path.join(exp_dir, f"test_method_performances{method}3.pth"))
+    entries = collect_gridsearch_exp_entries(
+        str(tmp_path), "tiny", method, "small_VGG9_cl_128_128", "grid")
+    e = entries[0]
+    assert sorted(e.seq_acc) == [2, 3]
+    np.testing.assert_allclose(e.seq_acc[2], [75.0, 70.0])
+
+
+def test_collect_joint_restricted_range_dict(tmp_path):
+    """Restricted-range Joint artifacts keyed {dataset_index: [acc]} must
+    anchor each accuracy at its true task, not re-anchor at task 1."""
+    method = "JOINT_FULL_BATCH"
+    exp_dir = os.path.join(str(tmp_path), "results", "tiny", method,
+                           "small_VGG9_cl_128_128", "grid", "e=10")
+    os.makedirs(exp_dir, exist_ok=True)
+    io.save({method: {"seq_res": {2: [64.0], 3: [58.0]}}},
+            os.path.join(exp_dir,
+                         "test_method_performancesJOINT_FULL_BATCH.pth"))
+    e = ExperimentDataEntry(
+        dataset_name="tiny", eval_name=method,
+        model_name="small_VGG9_cl_128_128", gridsearch_name="grid",
+        exp_name="e=10", results_dir=exp_dir, label="Joint")
+    collect(e)
+    assert e.task_count == 4
+    assert sorted(e.seq_acc) == [3, 4]
+    np.testing.assert_allclose(e.seq_acc[3], [64.0, 64.0])
+    np.testing.assert_allclose(e.seq_acc[4], [58.0])
+
+
+def test_plot_legend_handles_follow_label_order(tmp_path):
+    """An entry with no task-1 series still gets a legend label, and the
+    single-dot legend styling follows label order, not entries order."""
+    from clsurvey_tpu.utilities import plot as plot_lib
+
+    late = ExperimentDataEntry(
+        dataset_name="tiny", eval_name="EWC", model_name="m",
+        gridsearch_name="g", exp_name="late", results_dir=".",
+        label="late-entry")
+    late.seq_acc = {2: [70.0, 65.0], 3: [60.0]}
+    late.task_count = 3
+    joint = ExperimentDataEntry(
+        dataset_name="tiny", eval_name="JOINT_FULL_BATCH", model_name="m",
+        gridsearch_name="g", exp_name="joint", results_dir=".",
+        label="joint-entry")
+    joint.seq_acc = {1: [80.0] * 3, 2: [80.0] * 2, 3: [80.0]}
+    joint.task_count = 3
+    joint.single_dot = True
+    out = str(tmp_path / "legend.png")
+    plot_lib.plot_line_horizontal_sequence([late, joint],
+                                           save_img_path=out, metric="acc")
+    assert os.path.isfile(out)
