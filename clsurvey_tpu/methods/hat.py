@@ -45,7 +45,12 @@ from clsurvey_tpu.utils.paths import BEST_MODEL_FILENAME, EPOCH_CKPT_FILENAME
 THRES_COSH = 50.0
 THRES_EMB = 6.0
 CLIPGRAD = 10000.0
-emb_init = nn.initializers.normal(stddev=1.0)  # torch Embedding default
+# uniform(0, 2): every gate starts OPEN (sigmoid(s*e) >= 0.5, ~1 at smax)
+# so the full network trains from step one and the sparsity term closes
+# capacity selectively; a zero-mean init shuts half the gates at random,
+# attenuating activations ~0.5^L and stalling training
+# (ref:src/methods/HAT/networks/vgg_hat.py:75-80 uniform_init lo,hi=0,2)
+emb_init = nn.initializers.uniform(scale=2.0)
 
 
 class HATVGG(nn.Module):
