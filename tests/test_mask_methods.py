@@ -147,6 +147,28 @@ def test_hat_mask_back_blocks_prev_capacity():
             assert float(jnp.max(leaf["kernel"])) < 0.01
 
 
+def test_hat_gates_start_open():
+    """Embeddings init uniform(0,2): every gate >= 0.5 at any s and ~1 at
+    smax, so a fresh HAT net trains at full capacity and the sparsity term
+    closes gates selectively (ref:vgg_hat.py:75-80). A zero-mean init
+    attenuates activations ~0.5^L and stalls training (regression)."""
+    from clsurvey_tpu.methods.hat import make_hat_model
+    from clsurvey_tpu.models.registry import parse_model_name
+
+    spec = parse_model_name("/tmp/m", "tiny_CNN_cl_16_16", (16, 16))
+    model = make_hat_model(spec, n_tasks=3)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 16, 16, 3)), 0, jnp.float32(1.0))
+    for s in (0.01, 1.0, 400.0):
+        _, masks = model.apply({"params": variables["params"]},
+                               jnp.zeros((1, 16, 16, 3)), 0,
+                               jnp.float32(s))
+        for m in masks:
+            assert float(jnp.min(m)) >= 0.5
+    # at smax the fresh net is fully open
+    assert all(float(jnp.min(m)) > 0.97 for m in masks)
+
+
 def test_hat_mask_back_unions_multiple_prev_tasks():
     """a^{<t} is the elementwise max over ALL previous tasks' gates
     (ref:src/methods/HAT/approaches/hat.py:57-89): at task 2 a unit claimed
