@@ -330,7 +330,11 @@ class PathNet(Method):
                         logits, y).mean()
 
                 grads = jax.grad(loss_fn)(tr)
-                gp = {n: g * gates[n] for n, g in grads["params"].items()}
+                # hard select, NOT multiply: a NaN grad (diverged lr) times
+                # a 0-gate is NaN and would poison frozen modules through
+                # momentum, destroying every previous task's subnetwork
+                gp = {n: jnp.where(gates[n] > 0, g, 0.0)
+                      for n, g in grads["params"].items()}
                 keep = (jnp.arange(
                     tr["heads"]["kernel"].shape[0]) == task)
                 gh = jax.tree_util.tree_map(
@@ -432,6 +436,19 @@ class PathNet(Method):
                         trainable, momenta[p], images, labels, perm,
                         jnp.asarray(paths[p]), gates, sk,
                         jnp.float32(lrs[p]))
+                    # NaN guard (the engine's equivalent is its abort at
+                    # train.py; a diverged candidate must not poison the
+                    # shared weights): restore last finite snapshot, drop
+                    # this candidate's lr, reset its momentum
+                    tot = sum(jnp.sum(leaf) for leaf in
+                              jax.tree_util.tree_leaves(trainable))
+                    if not np.isfinite(float(tot)):
+                        trainable = jax.tree_util.tree_map(jnp.asarray,
+                                                           best_state)
+                        momenta[p] = jax.tree_util.tree_map(
+                            jnp.zeros_like, trainable)
+                        lrs[p] /= self.lr_factor
+                        continue
                     acc = float(eval_acc(trainable, val_images, val_labels,
                                          jnp.asarray(paths[p])))
                     if acc > best_overall:

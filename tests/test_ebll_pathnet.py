@@ -84,3 +84,60 @@ def test_pathnet_decay_operator():
 
     m = PathNet()
     assert m.decay_operator(3, 0.5) == 4  # increments, never multiplies
+
+
+def test_pathnet_diverged_candidate_cannot_poison_frozen_modules(tmp_path):
+    """A candidate trained at a divergent lr produces NaN grads; the
+    0-gated (frozen) modules must stay finite and bit-identical (NaN*0
+    through a multiplicative gate would destroy every previous task's
+    subnetwork), and the saved model must be finite (regression:
+    demo task-4 NaN cascade)."""
+    from collections import OrderedDict
+
+    from clsurvey_tpu.data.registry import parse as parse_ds
+    from clsurvey_tpu.framework.common import Manager, RunArgs
+    from clsurvey_tpu.methods.pathnet import PathNet, _layer_index
+    from clsurvey_tpu.models.registry import parse_model_name
+    from clsurvey_tpu.utils import io
+
+    spec = parse_model_name(str(tmp_path / "models"), "tiny_CNN_cl_32_32",
+                            (32, 32))
+    ds = parse_ds("synthetic_2t_4c_32px")
+    args = RunArgs(model_name="tiny_CNN_cl_32_32",
+                   ds_name="synthetic_2t_4c_32px", num_epochs=2,
+                   batch_size=32, lr_grid=(1e-2,), gridsearch_name="g")
+    m = Manager(args=args, dataset=ds, method=None, model_spec=spec)
+    pn = PathNet(static_hyperparams=OrderedDict(
+        {"M": 2, "generations": 2}))
+    pn.hyperparams = OrderedDict({"N": 1})
+
+    m.set_dataset(1)
+    m.extras["lr"] = 1e-2
+    d1 = str(tmp_path / "t1")
+    out1, _ = pn._evolve(args, m, N=1, generations=1, nepochs_per_gen=2,
+                         exp_dir=d1, seed=7)
+
+    # task 2 at a divergent lr
+    m.set_dataset(2)
+    m.previous_task_model_path = os.path.join(d1, "best_model.pth.tar")
+    m.extras["lr"] = 1e6
+    d2 = str(tmp_path / "t2")
+    out2, _ = pn._evolve(args, m, N=1, generations=2, nepochs_per_gen=2,
+                         exp_dir=d2, seed=7)
+
+    bp1 = [np.asarray(p) for p in out1["method_aux"]["best_paths"]]
+    L, M = bp1[0].shape[0], 2
+    frozen = np.zeros((L, M))
+    for p in bp1:
+        for layer in range(L):
+            for k in p[layer]:
+                frozen[layer, k % M] = 1
+    for name in out1["params"]:
+        layer = _layer_index(name)
+        a = np.asarray(out1["params"][name])
+        b = np.asarray(out2["params"][name])
+        assert np.isfinite(b).all(), f"non-finite {name}"
+        for mod in range(M):
+            if frozen[layer, mod]:
+                np.testing.assert_array_equal(a[mod], b[mod],
+                                              err_msg=f"{name}[{mod}]")
