@@ -135,8 +135,12 @@ def plot_line_horizontal_sequence(entries, save_img_path: str,
         # handles appear in label order == legend_entries order (NOT the
         # entries list order: label-less entries produce no handle)
         for handle, e in zip(handles, legend_entries):
-            single = bool(getattr(e, "single_dot", False))
-            handle.set_linewidth(0.0 if single else 2.0)
+            if getattr(e, "single_dot", False):
+                # marker-only: 'None' (a dashed style at linewidth 0 makes
+                # matplotlib's scaled dash list all-zero and raises)
+                handle.set_linestyle("None")
+            else:
+                handle.set_linewidth(2.0)
 
     # twin top axis: which task each panel evaluates (ref:plot.py:191-208)
     ax_top = ax.twiny()
