@@ -90,6 +90,7 @@ def main():
         "gem_step_imgs_per_sec": _bench_gem(spec, images, labels, ctx),
         "ewc_fisher_imgs_per_sec": _bench_fisher(spec, state_dict, ctx,
                                                  images, labels),
+        "alexnet224_imgs_per_sec": _bench_alexnet224(),
     }
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip",
@@ -142,6 +143,54 @@ def _bench_gem(spec, images, labels, base_ctx):
         t0 = time.perf_counter()
         state, m = engine.train_epoch(state, images[:n], labels[:n], perm,
                                       ekey, 5e-3, bs)
+        _ = float(m["loss"])
+        best = min(best, time.perf_counter() - t0)
+    return round(n / best, 1)
+
+
+def _bench_alexnet224(batch_size: int = 200, n_steps: int = 20):
+    """AlexNet at 224px training throughput — the iNaturalist/RecogSeq
+    protocol point (ref:src/main_inaturalist.sh:16-26, models/net.py:96-125,
+    10 tasks, pretrained-init AlexNet)."""
+    from clsurvey_tpu.engine.train import (
+        Engine, TrainState, make_context, tree_zeros_like)
+    from clsurvey_tpu.methods.base import UpdateRule
+    from clsurvey_tpu.models.registry import init_model_state, ModelSpec
+
+    spec = ModelSpec(
+        name="alexnet", arch="alexnet", input_size=(224, 224),
+        classifier_dims=(4096, 4096), models_root_path="/tmp/bench_models",
+        compute_dtype=jnp.bfloat16)
+    sd = init_model_state(spec, jax.random.PRNGKey(7), max_tasks=10,
+                          classes_per_task=25)
+    rule = UpdateRule()
+    ctx = make_context(
+        spec, task=0, n_tasks=1, class_counts=[25] * 10,
+        mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+        update_rule=rule, augment=True)
+    engine = Engine(ctx)
+    tr = {"params": sd["params"],
+          "heads": {"kernel": sd["heads"]["kernel"],
+                    "bias": sd["heads"]["bias"]}}
+    state = TrainState(tr, {}, tree_zeros_like(tr),
+                       rule.init_state(tr, {}, ctx))
+    n = n_steps * batch_size
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.integers(0, 255, (n, 224, 224, 3),
+                                      dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 25, (n,), dtype=np.int32))
+    key = jax.random.PRNGKey(9)
+    perm = jax.random.permutation(key, n)
+    state, m = engine.train_epoch(state, images, labels, perm, key, 5e-3,
+                                  batch_size)
+    _ = float(m["loss"])  # compile + sync
+    best = float("inf")
+    for e in range(3):
+        ekey = jax.random.fold_in(key, e)
+        perm = jax.random.permutation(ekey, n)
+        t0 = time.perf_counter()
+        state, m = engine.train_epoch(state, images, labels, perm, ekey,
+                                      5e-3, batch_size)
         _ = float(m["loss"])
         best = min(best, time.perf_counter() - t0)
     return round(n / best, 1)

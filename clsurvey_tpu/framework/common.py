@@ -49,6 +49,9 @@ class RunArgs:
     static_hyperparams: str | None = None
     # storage policy for the LR grid (ref:src/framework/lr_grid_train.py)
     grid_storage_policy: str = "only_keep_best"
+    # force policy 'all' for the framework's Phase-1 FT grid
+    # (ref:src/framework/main.py:39-40)
+    save_models_FT_heuristic: bool = False
     debug: bool = False
     # capture a jax.profiler trace of the first task's training (the TPU
     # analog of the reference's timing telemetry, SURVEY §5)

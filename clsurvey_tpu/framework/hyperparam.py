@@ -72,7 +72,10 @@ class HyperparameterFramework:
         from clsurvey_tpu.framework import lr_grid
 
         start = time.time()
-        save_mode = args.grid_storage_policy
+        # ref:src/framework/framework_train.py:229-235: the flag forces
+        # keeping every grid model; default policy otherwise
+        save_mode = ("all" if getattr(args, "save_models_FT_heuristic",
+                                      False) else args.grid_storage_policy)
         ft_lr, ft_acc = lr_grid.lr_grid_single_task(
             args, manager, save_models_mode=save_mode)
         manager.extras["phase1_elapsed_time"] = time.time() - start

@@ -213,6 +213,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=("all", "only_keep_best", "keep_none"),
                    help="Phase-1 LR-grid model retention "
                         "(ref:src/framework/lr_grid_train.py StoragePolicy)")
+    p.add_argument("--save_models_FT_heuristic", action="store_true",
+                   help="Keep every chkpt model of the framework's FT "
+                        "phase (ref:src/framework/main.py:39-40, "
+                        "framework_train.py:229-231)")
     return p
 
 
