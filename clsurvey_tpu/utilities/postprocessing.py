@@ -161,9 +161,16 @@ def collect(entry: ExperimentDataEntry, max_task_count: int | None = None
     if io.exists(joint_path):
         raw = io.load(joint_path)[entry.eval_name]["seq_res"]
         if isinstance(raw, dict):
-            # restricted-range artifact: {0-based dataset_index: [acc]}
-            pairs = {int(k): (list(v)[0] if isinstance(v, (list, tuple))
-                              else v) for k, v in raw.items()}
+            # dict layouts: the reference's one-key {0: [full list]} wrap,
+            # and our restricted-range {dataset_index: [acc]} extension —
+            # a multi-element list value spreads from its start index
+            pairs = {}
+            for k, v in raw.items():
+                if isinstance(v, (list, tuple)):
+                    for i, acc in enumerate(v):
+                        pairs[int(k) + i] = acc
+                else:
+                    pairs[int(k)] = v
         else:
             pairs = dict(enumerate(raw))
         T = max(pairs) + 1 if pairs else 0
@@ -175,7 +182,9 @@ def collect(entry: ExperimentDataEntry, max_task_count: int | None = None
             curve = [acc] * (T - t)
             entry.seq_acc[t + 1] = curve
             entry.seq_forgetting[t + 1] = [curve[0] - v for v in curve[1:]]
-        entry.task_count = T
+        # an entry truncated to nothing must not survive the collected
+        # filter (mirrors the per-task branch below)
+        entry.task_count = T if entry.seq_acc else 0
         return entry
 
     # collect the 0-based per-task files actually present (a restricted

@@ -178,10 +178,15 @@ def main(argv=None):
         print(json.dumps(statuses, indent=1))
         status_path = a.out + "_status.json"
         if only and os.path.isfile(status_path):
-            # partial rerun: merge into the existing full-sweep statuses
+            # partial rerun: merge into the existing full-sweep statuses;
+            # _total_secs accumulates across runs rather than being
+            # overwritten by the partial run's (shorter) total
             with open(status_path) as f:
                 merged = json.load(f)
+            prior_total = merged.get("_total_secs", 0)
             merged.update(statuses)
+            merged["_total_secs"] = prior_total + statuses.get(
+                "_total_secs", 0)
             statuses = merged
         with open(status_path, "w") as f:
             json.dump(statuses, f, indent=1)

@@ -342,3 +342,31 @@ def test_plot_legend_handles_follow_label_order(tmp_path):
     plot_lib.plot_line_horizontal_sequence([late, joint],
                                            save_img_path=out, metric="acc")
     assert os.path.isfile(out)
+
+
+def test_collect_joint_one_key_wrap_and_empty_truncation(tmp_path):
+    """{0: [full list]} (the reference's one-key wrap) spreads over all
+    tasks; truncating a restricted artifact to nothing zeroes task_count
+    so the entry is filtered out."""
+    method = "JOINT_FULL_BATCH"
+    exp_dir = os.path.join(str(tmp_path), "results", "tiny", method,
+                           "small_VGG9_cl_128_128", "grid", "e=10")
+    os.makedirs(exp_dir, exist_ok=True)
+    art = os.path.join(exp_dir,
+                       "test_method_performancesJOINT_FULL_BATCH.pth")
+    io.save({method: {"seq_res": {0: [90.0, 85.0, 80.0]}}}, art)
+
+    def entry():
+        return ExperimentDataEntry(
+            dataset_name="tiny", eval_name=method,
+            model_name="small_VGG9_cl_128_128", gridsearch_name="grid",
+            exp_name="e=10", results_dir=exp_dir, label="Joint")
+
+    e = collect(entry())
+    assert e.task_count == 3
+    np.testing.assert_allclose(e.seq_acc[1], [90.0] * 3)
+    np.testing.assert_allclose(e.seq_acc[3], [80.0])
+
+    io.save({method: {"seq_res": {2: [64.0], 3: [58.0]}}}, art)
+    e = collect(entry(), max_task_count=2)
+    assert e.task_count == 0 and not e.seq_acc
