@@ -221,10 +221,13 @@ class Engine:
             grads = tree_add(grads, penalty)
         grads = rule.transform_grads(ctx, grads, state.trainable,
                                      state.mstate)
-        if ctx.freeze_backbone:
-            grads = {**grads, "params": tree_zeros_like(grads["params"])}
         if ctx.weight_decay:
             grads = tree_scale_add(grads, state.trainable, ctx.weight_decay)
+        # freeze AFTER weight decay: the reference's freeze_mode optimizes
+        # only the classifier (ref:main_SGD.py:69-72), so frozen backbone
+        # weights must not decay either
+        if ctx.freeze_backbone:
+            grads = {**grads, "params": tree_zeros_like(grads["params"])}
         # torch-SGD momentum: buf = m*buf + d_p ; update = buf
         new_momentum = jax.tree_util.tree_map(
             lambda b, g: ctx.momentum * b + g, state.momentum, grads)
@@ -475,6 +478,10 @@ def train_task(engine: Engine, job: TrainJob, state: TrainState,
             import json
             with open(history_path) as f:
                 error_history = json.load(f).get("error_history", [])
+            # the history file is written every epoch but the state ckpt
+            # only every saving_freq: truncate so re-run epochs don't
+            # append duplicate entries (index == epoch must hold)
+            error_history = error_history[:start_epoch]
         log(f"=> resumed epoch {start_epoch} lr={lr:g} best={best_acc:.4f}")
 
     # host snapshot of the task-start model: the fallback for runs that

@@ -36,7 +36,12 @@ Documented deviations from the reference (behavior-level equivalents):
   mixed-task exemplar sample per step, instead of the reference's
   per-task-batch running accumulation (icarl.py:585-593);
 - dropout masks are per-element (flax) rather than one broadcast unit mask
-  (gem.py:177-196), same retention probability."""
+  (gem.py:177-196), same retention probability;
+- per-step exemplar batches are drawn uniformly WITH replacement
+  (jax.random.randint) where the reference builds unique index sets
+  (baseline_rehearsal_partial_mem.py:207-211, icarl.py permutation) —
+  identical in expectation, cheaper under jit than a per-step
+  permutation."""
 
 from __future__ import annotations
 
@@ -192,9 +197,9 @@ class GEMRule(UpdateRule):
 
         The reference replays each past task's buffer sequentially
         (gem.py:233-256); vmapping over the task axis turns t-1 sequential
-        backward passes per step into a single batched launch — the same
-        math (each row is still the sum of per-batch-mean CE grads over
-        that task's buffer)."""
+        backward passes per step into a single batched launch. Each row is
+        the chunk-size-invariant FULL-BUFFER MEAN gradient (same deliberate
+        deviation as _memory_grads — see its docstring + DEVIATIONS.md)."""
         t = ctx.task
         mem = mstate["memory"]
         imgs = mem["mem_images"][:t]     # (t, M, H, W, C)
@@ -344,11 +349,8 @@ class ICarlRule(UpdateRule):
 
     T = 2.0
 
-    def __init__(self, n_append: int, class_to_task: np.ndarray,
-                 offsets: np.ndarray):
+    def __init__(self, n_append: int):
         self.n_append = int(n_append)
-        self.class_to_task = np.asarray(class_to_task)  # shared idx -> task
-        self.offsets = np.asarray(offsets)              # per-task offset
 
     def init_state(self, trainable, hyperparams, ctx, exemplars=None):
         state = super().init_state(trainable, hyperparams, ctx)
@@ -395,13 +397,23 @@ class ICarlRule(UpdateRule):
 # host lifecycle
 # ---------------------------------------------------------------------------
 
-def _cum_offsets(class_counts, kernel_c):
-    """Shared-head layout: task t's classes live at [t*kernel_c,
-    t*kernel_c + counts[t])."""
-    n = len(class_counts)
-    offsets = np.arange(n) * kernel_c
-    class_to_task = np.repeat(np.arange(n), kernel_c)
-    return offsets, class_to_task
+_FEAT_FN_CACHE: dict = {}
+
+
+def _cached_feat_fn(ctx):
+    """One jitted feature forward per (backbone, has-batch-stats): params
+    ride as arguments, so T(T+1)/2 eval-matrix calls share one compile per
+    batch shape instead of re-jitting a fresh closure per model."""
+    key = (ctx.backbone, bool(ctx.spec.batch_norm))
+    fn = _FEAT_FN_CACHE.get(key)
+    if fn is None:
+        def impl(params, batch_stats, x):
+            return ctx.forward_feats(params, batch_stats, x, False,
+                                     jax.random.PRNGKey(0))[0]
+
+        fn = jax.jit(impl)
+        _FEAT_FN_CACHE[key] = fn
+    return fn
 
 
 def _load_memory(model, fallback_fn):
@@ -519,6 +531,11 @@ class FinetuneRehearsalPartialMem(Method):
                 manager.dataset.task_count,
                 int(self.static_hyperparams["mem_per_task"]),
                 manager.dataset.input_size))
+        # reference baselines reset the ring cursor at every task switch
+        # (ref:baseline_rehearsal_partial_mem.py:150 "Reset counter!!");
+        # a carried mid-ring cursor would make mem_count cover the
+        # never-written prefix [0, cnt) — zero images labeled class 0
+        memory = {**memory, "mem_cnt": jnp.int32(0)}
         proto = {"params": jax.tree_util.tree_map(jnp.asarray,
                                                   prev_model["params"]),
                  "heads": None}
@@ -583,15 +600,13 @@ class ICARL(Method):
             exemplars = self._fresh_exemplars(manager, kernel_c)
         else:
             exemplars = jax.tree_util.tree_map(jnp.asarray, exemplars)
-        counts = manager.dataset.class_count_list()
-        offsets, class_to_task = _cum_offsets(counts, kernel_c)
         # exemplar batch ratio like the baselines (ref:main_rehearsal.py)
         train_size = manager.current_task_dataset.train.size
         n_mem = self._total_mem(manager)
         ratio = n_mem / (train_size + n_mem)
         n_append = min(int(np.ceil(args.batch_size * ratio)),
                        args.batch_size - 1)
-        rule = ICarlRule(n_append, class_to_task, offsets)
+        rule = ICarlRule(n_append)
         proto = {"params": jax.tree_util.tree_map(jnp.asarray,
                                                   prev_model["params"]),
                  "heads": None}
@@ -660,8 +675,10 @@ class ICARL(Method):
                 "bias": jnp.asarray(model["heads"]["bias"]),
                 "class_counts": np.asarray(model["heads"]["class_counts"])}
 
-        feat_fn = jax.jit(lambda x: ctx.forward_feats(
-            params, batch_stats, x, False, jax.random.PRNGKey(0))[0])
+        feat_raw = _cached_feat_fn(ctx)
+
+        def feat_fn(x):
+            return feat_raw(params, batch_stats, x)
 
         def feats_of(images_u8, bs=256):
             outs = []
@@ -712,11 +729,19 @@ class ICARL(Method):
         store = jax.tree_util.tree_map(
             lambda x: np.array(x, copy=True),
             io.to_host(self._fresh_exemplars(manager, kernel_c)))
+        capacity = int(store["images"].shape[0])
         pos = 0
         imgs_flat, tgt_flat, lbl_flat, task_flat = [], [], [], []
         for c in sorted(per_class_imgs):
             ims = per_class_imgs[c][:per_class]
             tg = per_class_targets[c][:per_class]
+            # per_class is clamped to >= 1, so with more seen classes than
+            # total capacity K the sum of per-class picks can exceed the
+            # static store — trim to capacity instead of overflowing
+            room = capacity - pos
+            if room <= 0:
+                break
+            ims, tg = ims[:room], tg[:room]
             n = len(ims)
             imgs_flat.append(ims)
             # pad targets to full shared width
@@ -765,8 +790,11 @@ class ICARL(Method):
         offset = (ref_task - 1) * kernel_c
         labels = np.asarray(ex["labels"])[:int(ex["count"])]
         imgs = np.asarray(ex["images"])[:int(ex["count"])]
-        feat_fn = jax.jit(lambda x: ctx.forward_feats(
-            params, batch_stats, x, False, jax.random.PRNGKey(0))[0])
+        feat_raw = _cached_feat_fn(ctx)
+
+        def feat_fn(x):
+            return feat_raw(params, batch_stats, x)
+
         feat_dim = int(np.asarray(model["heads"]["kernel"]).shape[1])
         means = np.zeros((kernel_c, feat_dim), np.float32)
         present = np.zeros((kernel_c,), bool)

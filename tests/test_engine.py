@@ -184,3 +184,45 @@ def test_failed_run_persists_init_model(spec, tmp_path):
     saved = io_lib.load(str(path))
     for leaf in jax.tree_util.tree_leaves(saved["params"]):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_frozen_backbone_does_not_decay(spec):
+    """freeze_backbone with weight_decay > 0: backbone params must stay
+    bit-identical (the reference's freeze_mode optimizes only the
+    classifier, ref:src/methods/Finetune/main_SGD.py:69-72 — weight decay
+    must not leak into frozen weights through momentum)."""
+    state_dict = init_model_state(spec, jax.random.PRNGKey(0), max_tasks=2,
+                                  classes_per_task=4)
+    ctx = make_context(
+        spec, task=0, n_tasks=2, class_counts=[4, 4],
+        mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25),
+        update_rule=UpdateRule(), augment=False, freeze_backbone=True,
+        weight_decay=1e-2)
+    engine = Engine(ctx)
+    rule = UpdateRule()
+    trainable = jax.tree_util.tree_map(
+        lambda x: jnp.array(x, copy=True),
+        {"params": state_dict["params"],
+         "heads": {"kernel": state_dict["heads"]["kernel"],
+                   "bias": state_dict["heads"]["bias"]}})
+    before = jax.tree_util.tree_map(np.asarray, trainable["params"])
+    head_before = np.array(trainable["heads"]["kernel"], copy=True)
+    state = TrainState(trainable, {}, tree_zeros_like(trainable),
+                       rule.init_state(trainable, {}, ctx))
+    rng = np.random.default_rng(0)
+    n = 32
+    images = jnp.asarray(rng.integers(0, 255, (n, 32, 32, 3),
+                                      dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 4, (n,), dtype=np.int32))
+    key = jax.random.PRNGKey(1)
+    state, _ = engine.train_epoch(state, images, labels,
+                                  jax.random.permutation(key, n), key,
+                                  1e-2, 16)
+    after = jax.tree_util.tree_map(np.asarray, state.trainable["params"])
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(before),
+            jax.tree_util.tree_leaves_with_path(after)):
+        np.testing.assert_array_equal(a, b, err_msg=str(pa))
+    # the head DID train
+    assert not np.array_equal(
+        head_before, np.asarray(state.trainable["heads"]["kernel"]))
