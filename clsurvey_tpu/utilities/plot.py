@@ -23,7 +23,10 @@ import matplotlib.pyplot as plt  # noqa: E402
 
 # panels shown when the sequence is longer than 10 tasks
 # (ref:src/utilities/plot.py:38)
-_LONG_SEQ_PANELS = (0, 4, 9, 14, 19)
+def _long_seq_panels(T: int, n: int = 5):
+    """n evenly spaced evaluation panels across a long task sequence
+    (covers the full range for any T, e.g. T=40 -> 0,10,20,29,39)."""
+    return sorted({round(i * (T - 1) / (n - 1)) for i in range(n)})
 
 
 def _entry_style(e, idx: int):
@@ -62,7 +65,7 @@ def plot_line_horizontal_sequence(entries, save_img_path: str,
         raise ValueError("no collected entries to plot")
     T = taskcount or max(e.task_count for e in entries)
     task_idxs = (list(range(T)) if T <= 10 else
-                 [t for t in _LONG_SEQ_PANELS if t < T])
+                 _long_seq_panels(T))
     if figsize_per_task:  # back-compat: width scales with panel count
         figsize = (figsize_per_task * len(task_idxs) * 1.4, figsize[1] * 0.6)
 
