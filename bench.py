@@ -220,5 +220,34 @@ def _bench_fisher(spec, state_dict, ctx, images, labels):
     return round(n / best, 1)
 
 
+def _main_with_watchdog():
+    """Run the bench in a child process with a timeout + one retry.
+
+    The tunneled TPU backend occasionally wedges a fresh client at init
+    (observed: process parked on a futex at 1% CPU indefinitely after an
+    earlier TPU process was killed); a fresh process retry has always
+    succeeded. The child's stdout (the JSON line) passes through."""
+    import os
+    import subprocess
+    import sys
+
+    for attempt in range(2):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner"],
+                timeout=1500)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt {attempt} timed out; retrying",
+                  file=sys.stderr)
+    sys.exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--inner" in sys.argv:
+        main()
+    else:
+        _main_with_watchdog()
