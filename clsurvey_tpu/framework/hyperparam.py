@@ -73,9 +73,14 @@ class HyperparameterFramework:
 
         start = time.time()
         # ref:src/framework/framework_train.py:229-235: the flag forces
-        # keeping every grid model; default policy otherwise
-        save_mode = ("all" if getattr(args, "save_models_FT_heuristic",
-                                      False) else args.grid_storage_policy)
+        # keeping every grid model; PackNet must keep its Phase-1 winner
+        # (Phase 2 prunes that model — keep_none would delete it)
+        if getattr(args, "save_models_FT_heuristic", False):
+            save_mode = "all"
+        elif manager.method is not None and manager.method.name == "packnet":
+            save_mode = "only_keep_best"
+        else:
+            save_mode = args.grid_storage_policy
         ft_lr, ft_acc = lr_grid.lr_grid_single_task(
             args, manager, save_models_mode=save_mode)
         manager.extras["phase1_elapsed_time"] = time.time() - start

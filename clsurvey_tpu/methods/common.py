@@ -126,3 +126,17 @@ def run_training(manager, update_rule: UpdateRule, lr: float,
     best_model, best_acc, final_state = train_task(
         engine, job, state, data, log=manager.log)
     return best_model, best_acc, final_state, engine
+
+
+def current_task_head_grads(tree, task: int):
+    """Zero every head-bank slot's gradient except the current task's
+    (the shared 'only the current task's head trains' rule)."""
+    import jax
+    import jax.numpy as jnp
+
+    def per_leaf(h):
+        keep = (jnp.arange(h.shape[0]) == task).reshape(
+            (-1,) + (1,) * (h.ndim - 1))
+        return jnp.where(keep, h, 0.0)
+
+    return jax.tree_util.tree_map(per_leaf, tree)

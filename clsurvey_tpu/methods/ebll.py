@@ -25,7 +25,9 @@ import itertools
 import os
 from collections import OrderedDict
 from dataclasses import dataclass, field
+from typing import Any
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -64,12 +66,61 @@ def decode(ae: dict, h: jnp.ndarray) -> jnp.ndarray:
     return h @ ae["dec"]["kernel"] + ae["dec"]["bias"]
 
 
-def conv_feats(spec, params, x, train=False):
+class _AlexConvs(nn.Module):
+    """AlexNet conv stack alone (param names match AlexNetBackbone)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from clsurvey_tpu.models.backbones import conv_init
+
+        conv = lambda f, k, s, p, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding=[(p, p), (p, p)],
+            dtype=self.dtype, kernel_init=conv_init, name=name)
+        x = nn.relu(conv(64, 11, 4, 2, "conv_0")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = nn.relu(conv(192, 5, 1, 2, "conv_1")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = nn.relu(conv(384, 3, 1, 1, "conv_2")(x))
+        x = nn.relu(conv(256, 3, 1, 1, "conv_3")(x))
+        x = nn.relu(conv(256, 3, 1, 1, "conv_4")(x))
+        return nn.max_pool(x, (3, 3), strides=(2, 2))
+
+
+class _AlexTrunk(nn.Module):
+    """AlexNet FC trunk alone (param names match AlexNetBackbone)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from clsurvey_tpu.models.backbones import dense_init
+
+        for j in (0, 1):
+            x = nn.Dense(4096, dtype=self.dtype, kernel_init=dense_init,
+                         name=f"fc_{j}")(x)
+            x = nn.relu(x)
+        return x
+
+
+def conv_feats(spec, params, x, train=False, batch_stats=None):
     """Flattened conv-extractor output — the autoencoder's input space
-    (the reference inserts the AE right after ``features``)."""
-    mod = VGGFeatures(VGG_CFG[spec.arch], spec.batch_norm,
-                      spec.compute_dtype)
-    out = mod.apply({"params": params["features"]}, x, train=False)
+    (the reference inserts the AE right after ``features``). Supports the
+    VGG family (nested features/trunk params, optional BN stats) and
+    AlexNet (flat conv_*/fc_* params, the arch the reference's own EBLL
+    runs on)."""
+    if spec.arch == "alexnet":
+        sub = {k: v for k, v in params.items() if k.startswith("conv_")}
+        out = _AlexConvs(spec.compute_dtype).apply({"params": sub}, x)
+    else:
+        mod = VGGFeatures(VGG_CFG[spec.arch], spec.batch_norm,
+                          spec.compute_dtype)
+        variables = {"params": params["features"]}
+        if spec.batch_norm:
+            variables["batch_stats"] = (batch_stats or {}).get(
+                "features", {})
+        out = mod.apply(variables, x, train=False)
     return out.reshape(out.shape[0], -1).astype(jnp.float32)
 
 
@@ -77,6 +128,11 @@ def trunk_head_logits(spec, ctx_bank, params, flat, task):
     """classifier trunk + task head on (possibly reconstructed) conv feats."""
     from clsurvey_tpu.models.backbones import ClassifierTrunk
 
+    if spec.arch == "alexnet":
+        sub = {k: v for k, v in params.items() if k.startswith("fc_")}
+        feats = _AlexTrunk(spec.compute_dtype).apply(
+            {"params": sub}, flat).astype(jnp.float32)
+        return heads_lib.forward(ctx_bank, feats, task)
     init_mode = "torch" if spec.arch != "tiny_CNN" else "kaiming"
     trunk = ClassifierTrunk(spec.classifier_dims, spec.dropout,
                             spec.compute_dtype, init_mode=init_mode)
@@ -175,6 +231,8 @@ class EBLLRule(LwFRule):
     def __init__(self, spec):
         self.spec = spec
 
+    LAMBDA_KEY = "reg_lambda"
+
     def extra_loss(self, ctx, trainable, feats, batch, mstate, rng,
                    batch_stats=None):
         n_prev = ctx.n_tasks - 1
@@ -182,22 +240,16 @@ class EBLLRule(LwFRule):
             return jnp.float32(0.0)
         x, _ = batch
         teacher = mstate["teacher"]
-        # teacher trunk feats + logits (LwF part)
-        t_feats, _ = ctx.forward_feats(teacher["params"],
-                                       teacher["batch_stats"], x,
-                                       train=False, rng=rng)
-        t_bank = {"kernel": teacher["kernel"], "bias": teacher["bias"],
-                  "class_counts": ctx.class_counts}
-        t_logits = jax.lax.stop_gradient(
-            heads_lib.forward_all(t_bank, t_feats, n_prev))
-        s_logits = heads_lib.forward_all(ctx.bank(trainable), feats, n_prev)
-        dist = lwf_distill_multi(s_logits, t_logits, 2.0)
-        loss = mstate["hyper"]["reg_lambda"] * dist
+        # LwF distillation part, shared with LwFRule (its lambda key is
+        # EBLL's reg_lambda)
+        loss = self.distill_term(ctx, trainable, feats, batch, mstate, rng)
 
         if mstate["encoders"]:
-            cur_conv = conv_feats(self.spec, trainable["params"], x)
+            cur_conv = conv_feats(self.spec, trainable["params"], x,
+                                  batch_stats=batch_stats)
             frz_conv = jax.lax.stop_gradient(
-                conv_feats(self.spec, teacher["params"], x))
+                conv_feats(self.spec, teacher["params"], x,
+                           batch_stats=teacher["batch_stats"]))
             code_loss = jnp.float32(0.0)
             for ae in mstate["encoders"]:
                 c_cur = encode(ae, cur_conv)

@@ -387,16 +387,15 @@ class HATEngine:
 
         grads_params = jax.tree_util.tree_map_with_path(
             proc_param, grads["params"], trainable["params"])
-        if not self.finetune_mode and self.task > 0:
+        # mask_back constrains previous-task weights in BOTH modes
+        # (ref:HAT_utils.py:220-222: applied whenever t > 0; only the
+        # cosh compensation and clipping are finetune-gated)
+        if self.task > 0 and self.mask_back is not None:
             grads_params = jax.tree_util.tree_map(
                 jnp.multiply, grads_params, self.mask_back)
         # heads: only the current task's head trains
-        t = self.task
-        def head_mask(h):
-            keep = (jnp.arange(h.shape[0]) == t).reshape(
-                (-1,) + (1,) * (h.ndim - 1))
-            return jnp.where(keep, h, 0.0)
-        grads_heads = jax.tree_util.tree_map(head_mask, grads["heads"])
+        grads_heads = common.current_task_head_grads(grads["heads"],
+                                                     self.task)
         grads = {"params": grads_params, "heads": grads_heads}
 
         momentum = jax.tree_util.tree_map(
@@ -479,6 +478,11 @@ def hat_train_task(engine: HATEngine, exp_dir: str, trainable, task_data,
     n_train = int(train_images.shape[0])
     bsz = min(batch_size, n_train)
 
+    # finite task-start snapshot BEFORE the donating jit consumes the
+    # buffers: the fallback for runs that never improve (a NaN-aborted
+    # final state must not chain into the next task — same hardening as
+    # engine/train.train_task)
+    task_start = io.to_host(trainable)
     momentum = jax.tree_util.tree_map(jnp.zeros_like, trainable)
     state = (trainable, momentum)
     patience = lr_patience
@@ -543,7 +547,7 @@ def hat_train_task(engine: HATEngine, exp_dir: str, trainable, task_data,
                      "trainable": io.to_host(state[0]),
                      "momentum": io.to_host(state[1])}, ckpt_path)
     if best_model is None:
-        best_model = io.to_host(state[0])
+        best_model = task_start
     return best_model, best_acc
 
 
@@ -600,10 +604,13 @@ class HAT(Method):
         model_mod = self._model_and_state(manager, manager.max_tasks)
         model = self._load_or_init(manager, model_mod)
         params = jax.tree_util.tree_map(jnp.asarray, model["params"])
-        mask_pre = None if finetune_mode else compute_mask_pre(
-            model_mod, params, t, smax)
-        mask_back = None if finetune_mode else compute_mask_back(
-            model_mod, params, mask_pre, manager.model_spec.input_size)
+        # masks are derived in BOTH modes: the reference's hat_finetune
+        # also constrains previous tasks' weights via mask_back
+        # (ref:hat_finetune.py + HAT_utils.py:220-222 apply mask_back
+        # whenever t > 0, not gated on finetune)
+        mask_pre = compute_mask_pre(model_mod, params, t, smax)
+        mask_back = compute_mask_back(model_mod, params, mask_pre,
+                                      manager.model_spec.input_size)
         if not finetune_mode:
             capacity_report(model_mod, params, t, smax, mask_back,
                             log=manager.log)
@@ -653,20 +660,30 @@ class HAT(Method):
                          num_epochs=args.num_epochs)
 
     def inference_eval(self, manager, model_path, ref_task, trained_idx):
+        from clsurvey_tpu.framework.evaluate import _eval_split
+
         model = io.load(model_path) if isinstance(model_path, str) \
             else model_path
         smax = float(model["meta"].get("smax", self.hyperparams["smax"]))
-        model_mod = self._model_and_state(manager, manager.max_tasks)
-        engine = HATEngine(
-            model_mod, manager.model_spec, ref_task - 1,
-            np.asarray(model["heads"]["class_counts"]),
-            manager.dataset.mean, manager.dataset.std, smax,
-            None, None, None, finetune_mode=False)
+        # cache eval engines like default_inference_eval does — a fresh
+        # HATEngine per call would recompile its jitted eval for every
+        # cell of the (task x model) matrix
+        cache_key = ("hat_eval_engine", ref_task, smax)
+        engine = manager.extras.get(cache_key)
+        if engine is None:
+            model_mod = self._model_and_state(manager, manager.max_tasks)
+            engine = HATEngine(
+                model_mod, manager.model_spec, ref_task - 1,
+                np.asarray(model["heads"]["class_counts"]),
+                manager.dataset.mean, manager.dataset.std, smax,
+                None, None, None, finetune_mode=False)
+            manager.extras[cache_key] = engine
         trainable = jax.tree_util.tree_map(jnp.asarray, {
             "params": model["params"],
             "heads": {"kernel": model["heads"]["kernel"],
                       "bias": model["heads"]["bias"]}})
         td = manager.dataset.get_task_dataset(ref_task)
-        return engine.evaluate(trainable, jnp.asarray(td.test.images),
-                               jnp.asarray(td.test.labels),
+        split = _eval_split(manager, td)
+        return engine.evaluate(trainable, jnp.asarray(split.images),
+                               jnp.asarray(split.labels),
                                manager.args.batch_size)

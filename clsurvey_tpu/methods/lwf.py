@@ -46,11 +46,14 @@ class LwFRule(UpdateRule):
         }
         return state
 
-    def extra_loss(self, ctx, trainable, feats, batch, mstate, rng,
-                   batch_stats=None):
+    # hyperparam key holding the distillation strength (EBLL reuses this
+    # whole term under its own key)
+    LAMBDA_KEY = "lambda"
+
+    def distill_term(self, ctx, trainable, feats, batch, mstate, rng):
+        """lambda * sum of temperature-softened distillation losses over
+        all previous heads (ref:main_LWF.py:177-201)."""
         n_prev = ctx.n_tasks - 1
-        if n_prev == 0:
-            return jnp.float32(0.0)
         x, _ = batch
         teacher = mstate["teacher"]
         t_feats, _ = ctx.forward_feats(teacher["params"],
@@ -62,7 +65,13 @@ class LwFRule(UpdateRule):
             heads_lib.forward_all(t_bank, t_feats, n_prev))
         s_logits = heads_lib.forward_all(ctx.bank(trainable), feats, n_prev)
         dist = lwf_distill_multi(s_logits, t_logits, TEMPERATURE)
-        return mstate["hyper"]["lambda"] * dist
+        return mstate["hyper"][self.LAMBDA_KEY] * dist
+
+    def extra_loss(self, ctx, trainable, feats, batch, mstate, rng,
+                   batch_stats=None):
+        if ctx.n_tasks - 1 == 0:
+            return jnp.float32(0.0)
+        return self.distill_term(ctx, trainable, feats, batch, mstate, rng)
 
 
 @dataclass

@@ -42,8 +42,11 @@ class PackNetRule(UpdateRule):
     """Grad + update masking for one task's training run. ``masks`` is
     static for the run (pruning happens on the host between runs)."""
 
-    def __init__(self, task_id: int):
+    def __init__(self, task_id: int, train_bn: bool = False):
         self.task_id = int(task_id)  # 1-based ownership id
+        # ref trains BN params whenever the model has batchnorm
+        # (ref:src/methods/method.py:538, prune.py:93-97)
+        self.train_bn = bool(train_bn)
 
     def init_state(self, trainable, hyperparams, ctx, masks=None):
         state = super().init_state(trainable, hyperparams, ctx)
@@ -53,14 +56,11 @@ class PackNetRule(UpdateRule):
 
     def _mask_tree(self, tree, mstate):
         params = masks_lib.mask_grads(tree["params"], mstate["masks"],
-                                      self.task_id)
+                                      self.task_id,
+                                      train_bn=self.train_bn)
         # only the current task's head trains
-        t = self.task_id - 1
-        def head_mask(h):
-            keep = (jnp.arange(h.shape[0]) == t)
-            keep = keep.reshape((-1,) + (1,) * (h.ndim - 1))
-            return jnp.where(keep, h, 0.0)
-        heads = jax.tree_util.tree_map(head_mask, tree["heads"])
+        heads = common.current_task_head_grads(tree["heads"],
+                                               self.task_id - 1)
         return {"params": params, "heads": heads}
 
     def transform_grads(self, ctx, grads, trainable, mstate):
@@ -82,6 +82,8 @@ class PackNet(Method):
     hyperparams: "OrderedDict[str, float]" = field(
         default_factory=lambda: OrderedDict(
             {"prune_perc_per_layer": 0.9}))
+    static_hyperparams: "OrderedDict[str, float]" = field(
+        default_factory=lambda: OrderedDict({"post_prune_epochs": 10}))
 
     # ---- helpers -------------------------------------------------------------
     def _load_with_masks(self, path_or_model):
@@ -102,7 +104,7 @@ class PackNet(Method):
         prev_model, masks = self._load_with_masks(
             manager.previous_task_model_path)
         masks = masks_lib.claim_free(masks, t)
-        rule = PackNetRule(t)
+        rule = PackNetRule(t, train_bn=manager.model_spec.batch_norm)
         proto = {"params": jax.tree_util.tree_map(jnp.asarray,
                                                   prev_model["params"]),
                  "heads": None}
@@ -123,15 +125,21 @@ class PackNet(Method):
     def train(self, args, manager, hyperparams):
         t = manager.task_counter
         ft_path = manager.extras.get("packnet_ft_model_path")
-        model, masks = self._load_with_masks(
-            ft_path or manager.previous_task_model_path)
+        if not ft_path or not io.exists(ft_path):
+            # a silent fallback to the previous task's model would train
+            # only the head (its masks hold no task-t claims)
+            raise FileNotFoundError(
+                f"PackNet Phase-1 model missing: {ft_path!r} — Phase 1 "
+                "must run first and its grid storage must keep the best "
+                "model (policy only_keep_best/all)")
+        model, masks = self._load_with_masks(ft_path)
         params = jax.tree_util.tree_map(jnp.asarray, model["params"])
         prune_perc = float(hyperparams["prune_perc_per_layer"])
         pruned_params, pruned_masks = masks_lib.prune_masks(
             params, masks, t, prune_perc)
         model = dict(model)
         model["params"] = pruned_params
-        rule = PackNetRule(t)
+        rule = PackNetRule(t, train_bn=manager.model_spec.batch_norm)
         proto = {"params": pruned_params, "heads": None}
         mstate = rule.init_state(proto, dict(hyperparams), None,
                                  masks=pruned_masks)
@@ -139,6 +147,7 @@ class PackNet(Method):
             manager, rule, lr=manager.extras["lr"] * 0.1,
             hyperparams=dict(hyperparams),
             exp_dir=manager.extras["heuristic_exp_dir"],
+            num_epochs=int(self.static_hyperparams["post_prune_epochs"]),
             start_model=model, seed=args.seed, mstate=mstate,
             reinit_head=False)  # keep the Phase-1 trained head
         return best_model, best_acc

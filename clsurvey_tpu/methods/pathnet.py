@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from clsurvey_tpu.methods import common
 from clsurvey_tpu.methods.base import Category, Method
 from clsurvey_tpu.models import heads as heads_lib
 from clsurvey_tpu.models.backbones import VGG_CFG, conv_init, dense_init
@@ -335,12 +336,7 @@ class PathNet(Method):
                 # momentum, destroying every previous task's subnetwork
                 gp = {n: jnp.where(gates[n] > 0, g, 0.0)
                       for n, g in grads["params"].items()}
-                keep = (jnp.arange(
-                    tr["heads"]["kernel"].shape[0]) == task)
-                gh = jax.tree_util.tree_map(
-                    lambda h: jnp.where(keep.reshape(
-                        (-1,) + (1,) * (h.ndim - 1)), h, 0.0),
-                    grads["heads"])
+                gh = common.current_task_head_grads(grads["heads"], task)
                 g = {"params": gp, "heads": gh}
                 mom = jax.tree_util.tree_map(
                     lambda b, gi: 0.9 * b + gi, mom, g)

@@ -76,16 +76,27 @@ def prune_masks(params, masks, task_id: int, prune_perc):
     return new_params, new_masks
 
 
-def mask_grads(grads, masks, task_id: int, train_other: bool = False):
+def mask_grads(grads, masks, task_id: int, train_bn: bool = False):
     """make_grads_zero (ref:prune.py:73-99): only the current task's kernel
-    weights train; biases/BN grads are zeroed (train_bias/train_bn False in
-    the reference protocol)."""
-    def per_leaf(g, m):
+    weights train; biases are always frozen; BN scale/bias grads flow when
+    ``train_bn`` (the reference sets train_bn=True whenever the model has
+    batchnorm, ref:src/methods/method.py:538, prune.py:93-97)."""
+    def per_leaf(path, g, m):
         if not _maskable(m):
-            return g if train_other else jnp.zeros_like(g)
+            if train_bn and _is_bn_path(path):
+                return g
+            return jnp.zeros_like(g)
         return jnp.where(m == task_id, g, 0.0)
 
-    return jax.tree_util.tree_map(per_leaf, grads, masks)
+    return jax.tree_util.tree_map_with_path(per_leaf, grads, masks)
+
+
+def _is_bn_path(path) -> bool:
+    for part in path:
+        name = str(getattr(part, "key", getattr(part, "name", "")))
+        if name.startswith("bn_") or name.startswith("BatchNorm"):
+            return True
+    return False
 
 
 def apply_eval_mask(params, masks, dataset_idx: int):
