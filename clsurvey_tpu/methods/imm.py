@@ -89,6 +89,16 @@ class IMM(Method):
         merged_paths = [model_paths[0]]
         merge_name = f"best_model_{self.mode}_IMM_merge.pth.tar"
 
+        # a merge of prefix 1..k depends on ALL k models: a cached file is
+        # only valid if no prefix model changed since it was written (the
+        # reference sidesteps this by always overwriting, merge.py
+        # overwrite=True)
+        def prefix_mtime(k):
+            return max((os.path.getmtime(p) for p in model_paths[:k]
+                        if isinstance(p, str) and os.path.exists(p)),
+                       default=0.0)
+
+        did_work = False
         precisions = None
         if self.mode == "mode":
             precisions = self._precisions(args, manager, model_paths, models)
@@ -96,16 +106,21 @@ class IMM(Method):
         for k in range(2, len(models) + 1):
             out_path = os.path.join(
                 os.path.dirname(model_paths[k - 1]), merge_name)
-            if not io.exists(out_path) or args.test_overwrite_mode:
+            stale = (io.exists(out_path)
+                     and os.path.getmtime(out_path) < prefix_mtime(k))
+            if not io.exists(out_path) or stale or args.test_overwrite_mode:
                 if self.mode == "mean":
                     merged = merge_mean(models[:k])
                 else:
                     merged = merge_mode(models[:k], precisions[:k])
                 io.save(merged, out_path)
+                did_work = True
             merged_paths.append(out_path)
         # merge/Fisher preprocessing time per exp
-        # (ref:src/utilities/utils.py:100-105)
-        if len(models) > 1:
+        # (ref:src/utilities/utils.py:100-105); only when work actually
+        # happened — a fully-cached re-eval must not overwrite the real
+        # measurement with ~0s
+        if len(models) > 1 and did_work:
             timing.save_preprocessing_time(
                 os.path.dirname(model_paths[-1]),
                 time.perf_counter() - t0)
@@ -118,11 +133,17 @@ class IMM(Method):
 
         precisions = []
         for t, (path, model) in enumerate(zip(model_paths, models), start=1):
-            cache = os.path.join(os.path.dirname(path),
-                                 "precision_mode_IMM.pth.tar")
-            if io.exists(cache) and not args.test_overwrite_mode:
-                precisions.append(io.load(cache))
-                continue
+            cache = None
+            if isinstance(path, str):
+                cache = os.path.join(os.path.dirname(path),
+                                     "precision_mode_IMM.pth.tar")
+                fresh = (io.exists(cache)
+                         and (not os.path.exists(path) or
+                              os.path.getmtime(cache)
+                              >= os.path.getmtime(path)))
+                if fresh and not args.test_overwrite_mode:
+                    precisions.append(io.load(cache))
+                    continue
             td = manager.dataset.get_task_dataset(t)
             ctx = make_context(
                 spec=manager.model_spec, task=t - 1, n_tasks=t,
@@ -141,7 +162,8 @@ class IMM(Method):
                 [td.train.images, td.val.images],
                 args.batch_size, jax.random.PRNGKey(args.seed + t))
             prec = io.to_host(prec)
-            io.save(prec, cache)
+            if cache is not None:
+                io.save(prec, cache)
             precisions.append(prec)
         return precisions
 

@@ -147,23 +147,30 @@ class _RegMethodBase(Method):
         raise NotImplementedError
 
     def train(self, args, manager, hyperparams):
+        from clsurvey_tpu.utils import timing
+
         cache_key = ("reg_prep", self.name, manager.task_counter)
         if cache_key not in manager.extras:
             import time
 
-            from clsurvey_tpu.utils import timing
-
             t0 = time.perf_counter()
             manager.extras[cache_key] = self._prepare(args, manager)
-            # preprocessing-time telemetry per exp
-            # (ref:src/utilities/utils.py:100-105, caller main_EWC.py:43-46)
-            timing.save_preprocessing_time(
-                manager.extras["heuristic_exp_dir"],
-                time.perf_counter() - t0)
+            prep_secs = time.perf_counter() - t0
+            manager.extras[(cache_key, "secs")] = prep_secs
+        # telemetry per exp (ref:src/utilities/utils.py:100-105, caller
+        # main_EWC.py:43-46) — (re)written every attempt: the failed-
+        # attempt cleanup wipes the exp dir between decay retries
+        timing.save_preprocessing_time(
+            manager.extras["heuristic_exp_dir"],
+            manager.extras.get((cache_key, "secs"), 0.0))
         omega, theta_star, extra = manager.extras[cache_key]
         rule = self.make_update_rule()
         exp_dir = manager.extras["heuristic_exp_dir"]
-        engine = manager.extras.get(("reg_engine", manager.task_counter))
+        # one engine slot, overwritten per task (a per-task key would pin
+        # every finished task's compiled executable for the whole run)
+        engine = (manager.extras.get("reg_engine")
+                  if manager.extras.get("reg_engine_task")
+                  == manager.task_counter else None)
         prev_model = io.load(manager.previous_task_model_path)
 
         # trainable must be built before mstate (shapes); run_training does
@@ -193,7 +200,8 @@ class _RegMethodBase(Method):
             hyperparams=dict(hyperparams), exp_dir=exp_dir,
             start_model=prev_model, seed=args.seed, mstate=mstate,
             engine=engine)
-        manager.extras[("reg_engine", manager.task_counter)] = engine
+        manager.extras["reg_engine"] = engine
+        manager.extras["reg_engine_task"] = manager.task_counter
         return best_model, best_acc
 
 

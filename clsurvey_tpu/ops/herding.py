@@ -47,7 +47,7 @@ def herd(features: jnp.ndarray, valid: jnp.ndarray, k: int) -> jnp.ndarray:
     (_, _), order = jax.lax.scan(
         step, (jnp.zeros((n,), features.dtype),
                jnp.zeros((d,), features.dtype)),
-        jnp.arange(k, dtype=features.dtype))
+        jnp.arange(k, dtype=jnp.float32))
     return order
 
 
