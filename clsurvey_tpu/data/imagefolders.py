@@ -23,7 +23,16 @@ def load_imagefolder(root: str, size: tuple, class_filter=None,
     classes = sorted(d for d in os.listdir(root)
                      if os.path.isdir(os.path.join(root, d)))
     if class_filter:
-        classes = [c for c in classes if c in set(class_filter)]
+        # labels must follow the FILTER's ordering (the train split's
+        # label space): a class missing from this split would otherwise
+        # shift every later class's label with no error
+        present = set(classes)
+        classes = list(class_filter)
+        missing = [c for c in classes if c not in present]
+        if missing:
+            raise FileNotFoundError(
+                f"classes missing under {root}: {missing[:5]} — "
+                "train/test label spaces would diverge")
     images, labels, kept = [], [], []
     for c in classes:
         cdir = os.path.join(root, c)
@@ -40,6 +49,11 @@ def load_imagefolder(root: str, size: tuple, class_filter=None,
                                               Image.BILINEAR)
                 images.append(np.asarray(im, np.uint8))
             labels.append(label)
+    if class_filter and kept != list(class_filter):
+        raise ValueError(
+            f"classes dropped under {root} (below min_images={min_images}):"
+            f" {sorted(set(class_filter) - set(kept))[:5]} — labels would"
+            " shift against the filter's label space")
     return (np.stack(images) if images else
             np.zeros((0, size[0], size[1], 3), np.uint8),
             np.asarray(labels, np.int32), kept)
@@ -83,7 +97,10 @@ def npz_member_shape(path: str, name: str) -> tuple:
     with zipfile.ZipFile(path) as zf:
         with zf.open(name + ".npy") as f:
             version = np.lib.format.read_magic(f)
-            shape, _, _ = np.lib.format._read_array_header(f, version)
+            reader = (np.lib.format.read_array_header_1_0
+                      if version == (1, 0)
+                      else np.lib.format.read_array_header_2_0)
+            shape, _, _ = reader(f)
     return shape
 
 

@@ -85,6 +85,9 @@ class RecogSeqSequence(TaskSequence):
                     imf.npz_member_shape(path, "train_images")[1:3])
             else:
                 self.classes_per_task[self.get_taskname(t)] = 0
+        if all(v == 0 for v in self.classes_per_task.values()):
+            raise FileNotFoundError(
+                f"no task bundles under {self._root} — run clsurvey_tpu.data.recogseq.prepare() first")
 
     def get_taskname(self, task: int) -> str:
         return TASKS[task - 1]

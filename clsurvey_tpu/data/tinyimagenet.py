@@ -53,6 +53,10 @@ def _read_class_order(raw_root: str, order_file: str | None,
                       survey_order: bool = True) -> list[str]:
     if order_file is None and survey_order:
         order_file = SURVEY_ORDER_FILE
+    elif order_file and not os.path.isfile(order_file):
+        # an explicitly requested ordering must not silently fall back —
+        # the wrong task splits would be sealed under the variant's name
+        raise FileNotFoundError(f"class order file missing: {order_file}")
     if order_file and os.path.isfile(order_file):
         with open(order_file) as f:
             order = [line.strip() for line in f if line.strip()]
@@ -78,6 +82,10 @@ def prepare(raw_root: str, out_root: str, task_count: int = 10,
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     order = _read_class_order(raw_root, order_file, survey_order)
+    if N_CLASSES % task_count:
+        raise ValueError(
+            f"task_count={task_count} does not divide {N_CLASSES} classes"
+            " — trailing classes would be silently dropped")
     per_task = N_CLASSES // task_count
     rng = np.random.default_rng(seed)
 
@@ -144,6 +152,9 @@ class TinyImagenetSequence(TaskSequence):
             task_count = int(digits) if digits else 10
         self.task_count = task_count
         self.input_size = (IMG_SIZE, IMG_SIZE)
+        if N_CLASSES % task_count:
+            raise ValueError(
+                f"task_count={task_count} does not divide {N_CLASSES}")
         per_task = N_CLASSES // task_count
         self.classes_per_task = {
             str(t): per_task for t in range(1, task_count + 1)}

@@ -41,12 +41,11 @@ def prepare_trainable(model: dict, task: int, head_key=None,
                   "bias": copy(model["heads"]["bias"])},
     }
     if reinit_head:
+        from clsurvey_tpu.models import heads as heads_lib
+
         key = head_key if head_key is not None else jax.random.PRNGKey(0)
-        kern = trainable["heads"]["kernel"]
-        trainable["heads"]["kernel"] = kern.at[task].set(
-            0.01 * jax.random.normal(key, kern.shape[1:], kern.dtype))
-        trainable["heads"]["bias"] = trainable["heads"]["bias"].at[task].set(
-            0.0)
+        trainable["heads"] = heads_lib.reinit_head(trainable["heads"],
+                                                   task, key)
     return trainable
 
 

@@ -93,8 +93,3 @@ def shared_logits(bank: dict, feats: jnp.ndarray, n_tasks: int) -> jnp.ndarray:
     return logits.reshape(feats.shape[0], -1)
 
 
-def task_offsets(bank: dict, n_tasks: int) -> np.ndarray:
-    """Cumulative class offsets of each task in the shared head layout."""
-    counts = np.asarray(bank["class_counts"][:n_tasks])
-    sizes = np.full(n_tasks, bank["kernel"].shape[-1])
-    return np.concatenate([[0], np.cumsum(sizes)])[:-1], counts

@@ -23,7 +23,6 @@ from clsurvey_tpu.models import heads as heads_lib
 from clsurvey_tpu.models.backbones import AlexNetBackbone, VGGBackbone
 from clsurvey_tpu.utils import io
 
-VGG_POOLING_LAYERS = 4  # all custom VGG configs have 4 stride-2 pools
 
 
 class ModelRegularization:
@@ -105,7 +104,7 @@ def parse_model_name(models_root_path: str, model_name: str,
                          models_root_path=models_root_path,
                          compute_dtype=compute_dtype)
     for cfg in ("small_VGG9", "wide_VGG9", "deep_VGG22", "base_VGG9",
-                "tiny_CNN"):
+                "tiny_CNN", "19normal", "16normal", "11normal"):
         if cfg in model_name:
             return ModelSpec(
                 model_name, cfg, input_size,

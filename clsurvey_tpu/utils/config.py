@@ -59,6 +59,10 @@ def load_config(config_path: str | None = None, refresh: bool = False) -> Config
 
     candidates = []
     if config_path:
+        if not os.path.isfile(config_path):
+            # an explicitly passed path must not silently fall through to
+            # env/cwd defaults — results would land in the wrong tree
+            raise FileNotFoundError(f"config file missing: {config_path}")
         candidates.append(config_path)
     env_path = os.environ.get("CLSURVEY_CONFIG")
     if env_path:

@@ -29,19 +29,25 @@ def to_host(tree: Any) -> Any:
     )
 
 
-def save(obj: Any, path: str) -> str:
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    obj = to_host(obj)
+def _atomic_write(path: str, writer) -> str:
+    """Write via mkstemp + os.replace so readers never see a torn file."""
     directory = os.path.dirname(os.path.abspath(path))
+    os.makedirs(directory, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp")
     try:
         with os.fdopen(fd, "wb") as f:
-            pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)
+            writer(f)
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
     return path
+
+
+def save(obj: Any, path: str) -> str:
+    obj = to_host(obj)
+    return _atomic_write(path, lambda f: pickle.dump(
+        obj, f, protocol=pickle.HIGHEST_PROTOCOL))
 
 
 def save_compat(obj: Any, path: str) -> str:
@@ -54,18 +60,8 @@ def save_compat(obj: Any, path: str) -> str:
         import torch
     except ImportError:
         return save(obj, path)
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     obj = to_host(obj)
-    directory = os.path.dirname(os.path.abspath(path))
-    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "wb") as f:
-            torch.save(obj, f)
-        os.replace(tmp, path)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-    return path
+    return _atomic_write(path, lambda f: torch.save(obj, f))
 
 
 def load(path: str) -> Any:
