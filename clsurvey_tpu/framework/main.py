@@ -22,13 +22,10 @@ from clsurvey_tpu.utils import io, paths as paths_lib, rng as rng_lib, timing
 from clsurvey_tpu.utils.config import load_config
 
 
-def get_init_model_path(args: RunArgs, manager: Manager) -> str:
-    """First-task init: methods that don't start from scratch reuse the SI
-    first-task base model (ref:src/framework/main.py:226-241)."""
+def _si_base_model_path(args: RunArgs, manager: Manager) -> str:
+    """The shared SI first-task base model every non-scratch method starts
+    from (ref:src/framework/main.py:226-233 + utils.py:146-163)."""
     spec = manager.model_spec
-    if manager.method.start_scratch or args.runmode == \
-            "first_task_basemodel_dump":
-        return spec.path  # the pickled init network
     base = paths_lib.get_starting_model_path(
         manager.dataset.name, spec.name,
         init_model_name=models_lib.get_init_modelname(
@@ -41,6 +38,49 @@ def get_init_model_path(args: RunArgs, manager: Manager) -> str:
             f"--runmode first_task_basemodel_dump first "
             f"(ref:src/main_tinyimagenet.sh:28-33).")
     return base
+
+
+def resolve_task_model_path(args: RunArgs, manager: Manager,
+                            task_counter: int) -> str:
+    """The on-disk best model that chained out of ``task_counter``.
+
+    iCaRL (and GEM's task-1 wrap) postprocess their best model — the
+    exemplar/memory aux rides inside — under a different name; prefer it
+    (ref:src/framework/main.py:234-236 resolves best_model.pth.tar)."""
+    base = manager.best_model_path(task_counter)
+    postprocessed = base.replace(
+        paths_lib.BEST_MODEL_FILENAME,
+        paths_lib.BEST_MODEL_POSTPROCESSED_FILENAME)
+    for candidate in (postprocessed, base):
+        if io.exists(candidate):
+            return candidate
+    if task_counter == 1 and not manager.method.start_scratch:
+        # non-scratch methods reuse the SI base model at task 1 and write
+        # nothing of their own under task_1/
+        return _si_base_model_path(args, manager)
+    raise FileNotFoundError(
+        f"NOT EXISTING previous_task_model_path = {base} "
+        f"(requires task {task_counter}'s completed best model, "
+        f"ref:src/framework/main.py:237-238)")
+
+
+def get_init_model_path(args: RunArgs, manager: Manager) -> str:
+    """First-task init: methods that don't start from scratch reuse the SI
+    first-task base model; a mid-sequence restart
+    (``--starting_task_count > 1``) resumes from the previous task's best
+    model instead (ref:src/framework/main.py:226-241)."""
+    if args.starting_task_count > 1 and args.runmode != \
+            "first_task_basemodel_dump":
+        # Resume from task N-1's best model (ref:src/framework/main.py:
+        # 234-236), failing loudly if the sequence up to N-1 is incomplete.
+        path = resolve_task_model_path(args, manager,
+                                       args.starting_task_count - 1)
+        print("Starting from model =", path)
+        return path
+    if manager.method.start_scratch or args.runmode == \
+            "first_task_basemodel_dump":
+        return manager.model_spec.path  # the pickled init network
+    return _si_base_model_path(args, manager)
 
 
 def overwrite_dump_args(args: RunArgs, manager: Manager) -> None:
@@ -129,6 +169,14 @@ def main(args: RunArgs):
 
     timer = timing.PhaseTimer()
     ds_paths, model_paths = [], []
+    # mid-sequence restart: the earlier tasks' models already exist on
+    # disk — seed the eval lists so --test still produces the full
+    # (task x model) matrix (the reference instead requires a follow-up
+    # rerun from task 1 whose SUCCESS flags fast-forward the loop)
+    for done_task in range(1, args.starting_task_count):
+        ds_paths.append(done_task)
+        model_paths.append(resolve_task_model_path(args, manager,
+                                                   done_task))
     profiling = False
     for task_counter in range(args.starting_task_count,
                               args.max_task_count + 1):

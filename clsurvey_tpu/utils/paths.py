@@ -19,6 +19,10 @@ TASK_TRAINING_DIRNAME = "TASK_TRAINING"
 LR_GRID_DIRNAME = "FT_LR_GRIDSEARCH"
 SUCCESS_FLAG = "SUCCESS.FLAG"
 BEST_MODEL_FILENAME = "best_model.pth.tar"
+# iCaRL/GEM write an aux-carrying twin next to the best model
+# (ref:src/framework/main.py uses best_model.pth.tar; our rehearsal
+# poststeps append the exemplar/memory aux under this name)
+BEST_MODEL_POSTPROCESSED_FILENAME = "best_model_postprocessed.pth.tar"
 EPOCH_CKPT_FILENAME = "epoch.pth.tar"
 GRID_CKPT_FILENAME = "grid_checkpoint.pth"
 HYPERPARAMS_CKPT_FILENAME = "hyperparams.pth.tar"
