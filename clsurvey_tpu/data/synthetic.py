@@ -26,7 +26,12 @@ class SyntheticSequence(TaskSequence):
 
     ``<classes>`` may be a dash-separated list for unequal per-task class
     counts (the RecogSeq regime of padded+masked heads), e.g.
-    ``synthetic_3t_5-3-4c_32px``."""
+    ``synthetic_3t_5-3-4c_32px``.
+
+    An ``<n>n`` segment sets the per-class train-image count (val/test get
+    a quarter each), e.g. ``synthetic_10t_20c_64px_400n`` reproduces the
+    Tiny-ImageNet protocol scale: 20 classes x 400 train/100 val/100 test
+    per task (ref:src/data/tinyimgnet_dataprep.py 80/20 split)."""
 
     def __init__(self, ds_name: str = "synthetic", task_count: int = 3,
                  classes_per_task_n: int = 5, input_px: int = 32,
@@ -45,6 +50,9 @@ class SyntheticSequence(TaskSequence):
                     classes_per_task_n = int(body)
             elif seg.endswith("px"):
                 input_px = int(seg[:-2])
+            elif seg.endswith("n"):
+                n_train = int(seg[:-1])
+                n_val = n_test = max(n_train // 4, 8)
         self.name = ds_name
         if counts_list is not None:
             task_count = len(counts_list)

@@ -175,6 +175,11 @@ class Engine:
         self._train_epoch = jax.jit(self._train_epoch_impl,
                                     static_argnums=(6,),
                                     donate_argnums=(0,))
+        # chunked-streaming variant: rows arrive pre-shuffled by the host,
+        # so batches are contiguous slices — no gather
+        self._train_chunk = jax.jit(self._train_chunk_impl,
+                                    static_argnums=(5,),
+                                    donate_argnums=(0,))
         self._eval_batch_cache: dict = {}
 
     # ---- compiled pieces --------------------------------------------------
@@ -255,6 +260,27 @@ class Engine:
             body, (state, rng), jnp.arange(steps))
         return state, jax.tree_util.tree_map(jnp.mean, metrics)
 
+    def _train_chunk_impl(self, state, images, labels, rng, lr, bsz):
+        """One chunk of a host-streamed epoch: rows are already shuffled
+        (host gathered ``images[perm_chunk]``), so each batch is a
+        contiguous ``dynamic_slice`` — the uint8 row-gather (and its
+        one-hot-matmul workaround) is not needed at all. Metrics are
+        per-batch means, NOT reduced over the chunk (the caller
+        concatenates chunks before averaging)."""
+        steps = images.shape[0] // bsz
+
+        def body(carry, i):
+            st, r = carry
+            r, sub = jax.random.split(r)
+            x = jax.lax.dynamic_slice_in_dim(images, i * bsz, bsz)
+            y = jax.lax.dynamic_slice_in_dim(labels, i * bsz, bsz)
+            st, metrics = self._train_step(st, x, y, sub, lr)
+            return (st, r), metrics
+
+        (state, _), metrics = jax.lax.scan(
+            body, (state, rng), jnp.arange(steps))
+        return state, metrics
+
     # ---- public API --------------------------------------------------------
 
     def _round_batch(self, batch_size: int, n: int) -> int:
@@ -278,6 +304,77 @@ class Engine:
         perm = perm[: (perm.shape[0] // batch_size) * batch_size]
         return self._train_epoch(state, images, labels, perm, rng,
                                  jnp.asarray(lr, jnp.float32), batch_size)
+
+    def train_epoch_chunked(self, state: TrainState, images_np, labels_np,
+                            perm, rng, lr, batch_size: int,
+                            chunk_rows: int):
+        """Streaming epoch for splits that exceed the HBM data budget
+        (replaces the reference's disk-streaming DataLoaders,
+        ref:src/methods/rehearsal/main_rehearsal.py:181-184): the global
+        permutation is gathered on host into fixed-size contiguous uint8
+        chunks that are ``device_put`` ahead of compute (async dispatch
+        double-buffers the transfer), each driven through the same
+        compiled train step."""
+        n = int(perm.shape[0])
+        batch_size = self._round_batch(batch_size, n)
+        chunk_rows = max((int(chunk_rows) // batch_size) * batch_size,
+                         batch_size)
+        # never larger than the (batch-rounded) dataset itself
+        chunk_rows = min(chunk_rows,
+                         max((n // batch_size) * batch_size, batch_size))
+        perm = np.asarray(perm)
+        # wrap-pad the permutation so every row is seen at least once per
+        # epoch and every chunk has the same (compiled-once) shape
+        n_chunks = -(-n // chunk_rows)
+        use = n_chunks * chunk_rows
+        if use > n:
+            perm = np.concatenate([perm, perm[: use - n]])
+        rep = mesh_lib.replicated(self.ctx.mesh) \
+            if self.ctx.mesh is not None else None
+        lr_arr = jnp.asarray(lr, jnp.float32)
+        metric_parts = []
+        # pre-issue the first transfer, then overlap: host-gather chunk
+        # k+1 while the device trains chunk k
+        def put(c):
+            rows = perm[c * chunk_rows: (c + 1) * chunk_rows]
+            imgs = np.ascontiguousarray(images_np[rows])
+            labs = np.ascontiguousarray(labels_np[rows])
+            if rep is not None:
+                return jax.device_put((imgs, labs), rep)
+            return jnp.asarray(imgs), jnp.asarray(labs)
+
+        next_buf = put(0)
+        for c in range(n_chunks):
+            imgs, labs = next_buf
+            rng, sub = jax.random.split(rng)
+            state, m = self._train_chunk(state, imgs, labs, sub, lr_arr,
+                                         batch_size)
+            if c + 1 < n_chunks:
+                next_buf = put(c + 1)
+            metric_parts.append(m)
+        metrics = jax.tree_util.tree_map(
+            lambda *parts: jnp.mean(jnp.concatenate(parts)), *metric_parts)
+        return state, metrics
+
+    def evaluate_chunked(self, trainable, batch_stats, images_np,
+                         labels_np, batch_size: int, chunk_rows: int,
+                         **kwargs):
+        """Eval over host-resident splits too big for HBM: sequential
+        fixed-size chunks, per-class counters accumulated across chunks."""
+        n = int(images_np.shape[0])
+        chunk_rows = max(int(chunk_rows), batch_size)
+        total_c = total_t = None
+        for lo in range(0, n, chunk_rows):
+            hi = min(lo + chunk_rows, n)
+            acc, pcc, pct = self.evaluate(
+                trainable, batch_stats,
+                jnp.asarray(np.ascontiguousarray(images_np[lo:hi])),
+                jnp.asarray(np.ascontiguousarray(labels_np[lo:hi])),
+                batch_size, **kwargs)
+            total_c = pcc if total_c is None else total_c + pcc
+            total_t = pct if total_t is None else total_t + pct
+        acc = float(total_c.sum()) / max(float(total_t.sum()), 1.0)
+        return acc, np.asarray(total_c), np.asarray(total_t)
 
     def evaluate(self, trainable, batch_stats, images, labels,
                  batch_size: int, predict: str | Callable = "task",
@@ -425,6 +522,14 @@ def state_from_model(model: dict, mstate: Any) -> TrainState:
                       tree_zeros_like(trainable), mstate)
 
 
+def data_budget_bytes() -> int:
+    """HBM budget for device-resident split data. Splits above it stream
+    through fixed-size chunks (`train_epoch_chunked`) like the reference's
+    disk-backed DataLoaders; below it they live in HBM for the whole task
+    (the fast path). Override with CLSURVEY_DATA_BUDGET_MB."""
+    return int(os.environ.get("CLSURVEY_DATA_BUDGET_MB", "2048")) * 2 ** 20
+
+
 def train_task(engine: Engine, job: TrainJob, state: TrainState,
                task_data, log: Callable = print):
     """Epoch loop with best-val tracking / lr decay / early stop / resume —
@@ -435,19 +540,41 @@ def train_task(engine: Engine, job: TrainJob, state: TrainState,
     ckpt_path = os.path.join(job.exp_dir, EPOCH_CKPT_FILENAME)
     best_path = os.path.join(job.exp_dir, BEST_MODEL_FILENAME)
 
-    train_images = jnp.asarray(task_data.train.images)
-    train_labels = jnp.asarray(task_data.train.labels)
-    val_images = jnp.asarray(task_data.val.images)
-    val_labels = jnp.asarray(task_data.val.labels)
-    n_train = int(train_images.shape[0])
+    budget = data_budget_bytes()
+    train_np = np.asarray(task_data.train.images)
+    train_labels_np = np.asarray(task_data.train.labels)
+    val_np = np.asarray(task_data.val.images)
+    val_labels_np = np.asarray(task_data.val.labels)
+    n_train = int(train_np.shape[0])
+    row_bytes = max(train_np.nbytes // max(n_train, 1), 1)
+    stream_train = train_np.nbytes > budget
+    stream_val = val_np.nbytes > budget
+    # half the budget per chunk: one in compute, one in flight
+    chunk_rows = max(budget // 2 // row_bytes, 1)
+    if stream_train:
+        log(f"streaming train split ({train_np.nbytes / 2**20:.0f} MiB > "
+            f"budget {budget / 2**20:.0f} MiB): "
+            f"{chunk_rows}-row chunks")
+
+    train_images = train_labels = val_images = val_labels = None
+    if not stream_train:
+        train_images = jnp.asarray(train_np)
+        train_labels = jnp.asarray(train_labels_np)
+    if not stream_val:
+        val_images = jnp.asarray(val_np)
+        val_labels = jnp.asarray(val_labels_np)
 
     if ctx.mesh is not None:
         # replicate everything up front so the first jitted call already sees
         # the steady-state shardings (avoids a second compile at epoch 1)
         rep = mesh_lib.replicated(ctx.mesh)
         state = jax.device_put(state, rep)
-        train_images, train_labels, val_images, val_labels = jax.device_put(
-            (train_images, train_labels, val_images, val_labels), rep)
+        if not stream_train:
+            train_images, train_labels = jax.device_put(
+                (train_images, train_labels), rep)
+        if not stream_val:
+            val_images, val_labels = jax.device_put(
+                (val_images, val_labels), rep)
 
     start_epoch, lr = 0, job.lr
     best_acc, val_beat_counts = 0.0, 0
@@ -505,15 +632,25 @@ def train_task(engine: Engine, job: TrainJob, state: TrainState,
         ekey = jax.random.fold_in(root_key, epoch)
         pkey, skey = jax.random.split(ekey)
         perm = jax.random.permutation(pkey, n_train)
-        state, metrics = engine.train_epoch(
-            state, train_images, train_labels, perm, skey, lr,
-            job.batch_size)
+        if stream_train:
+            state, metrics = engine.train_epoch_chunked(
+                state, train_np, train_labels_np, np.asarray(perm), skey,
+                lr, job.batch_size, chunk_rows)
+        else:
+            state, metrics = engine.train_epoch(
+                state, train_images, train_labels, perm, skey, lr,
+                job.batch_size)
         train_loss = float(metrics["loss"])
         train_acc = float(metrics["acc"])
 
-        val_acc, _, _ = engine.evaluate(
-            state.trainable, state.batch_stats, val_images, val_labels,
-            job.eval_batch_size)
+        if stream_val:
+            val_acc, _, _ = engine.evaluate_chunked(
+                state.trainable, state.batch_stats, val_np, val_labels_np,
+                job.eval_batch_size, chunk_rows)
+        else:
+            val_acc, _, _ = engine.evaluate(
+                state.trainable, state.batch_stats, val_images, val_labels,
+                job.eval_batch_size)
         log(f"epoch {epoch}: loss={train_loss:.4f} "
             f"train_acc={train_acc:.4f} val_acc={val_acc:.4f} lr={lr:g}")
 

@@ -55,12 +55,23 @@ def default_inference_eval(manager, model, ref_task: int) -> float:
                            "bias": model["heads"]["bias"]}}
     import jax
     import jax.numpy as jnp
+
+    from clsurvey_tpu.engine.train import data_budget_bytes
     trainable = jax.tree_util.tree_map(jnp.asarray, trainable)
-    acc, per_class_c, per_class_t = engine.evaluate(
-        trainable, jax.tree_util.tree_map(jnp.asarray,
-                                          model.get("batch_stats", {})),
-        jnp.asarray(split.images), jnp.asarray(split.labels),
-        manager.args.batch_size)
+    batch_stats = jax.tree_util.tree_map(
+        jnp.asarray, model.get("batch_stats", {}))
+    images = np.asarray(split.images)
+    if images.nbytes > data_budget_bytes():
+        row_bytes = max(images.nbytes // max(images.shape[0], 1), 1)
+        acc, per_class_c, per_class_t = engine.evaluate_chunked(
+            trainable, batch_stats, images, np.asarray(split.labels),
+            manager.args.batch_size,
+            max(data_budget_bytes() // 2 // row_bytes, 1))
+    else:
+        acc, per_class_c, per_class_t = engine.evaluate(
+            trainable, batch_stats,
+            jnp.asarray(images), jnp.asarray(split.labels),
+            manager.args.batch_size)
     # per-class counters: printed by the reference per eval
     # (ref:src/framework/inference.py:60-80) and stashed for the result
     # dict's 'seq_per_class' entry

@@ -412,11 +412,13 @@ class HATEngine:
                           lamb, bsz):
         steps = perm.shape[0] // bsz
 
+        from clsurvey_tpu.engine.train import gather_rows_u8
+
         def body(carry, i):
             st, r = carry
             r, sub = jax.random.split(r)
             idx = jax.lax.dynamic_slice_in_dim(perm, i * bsz, bsz)
-            x = jnp.take(images, idx, axis=0)
+            x = gather_rows_u8(images, idx)
             y = jnp.take(labels, idx, axis=0)
             progress = i.astype(jnp.float32) / jnp.maximum(steps - 1, 1)
             s = (self.smax - 1 / self.smax) * progress + 1 / self.smax
@@ -428,11 +430,13 @@ class HATEngine:
         return state, jax.tree_util.tree_map(jnp.mean, metrics)
 
     def _eval_impl(self, trainable, images, labels, idx, weights):
+        from clsurvey_tpu.engine.train import gather_rows_u8
+
         def body(carry, inp):
             c, t_ = carry
             bidx, w = inp
             x = pp.preprocess(jax.random.PRNGKey(0),
-                              jnp.take(images, bidx, 0), self.mean,
+                              gather_rows_u8(images, bidx), self.mean,
                               self.std, augment=False)
             feats, _ = self.model.apply(
                 {"params": trainable["params"]}, x, self.task,
@@ -562,6 +566,12 @@ class HAT(Method):
     start_scratch: bool = True
     hyperparams: "OrderedDict[str, float]" = field(
         default_factory=lambda: OrderedDict({"smax": 800, "c": 2.5}))
+    # SGD momentum: the reference's Appr hardcodes 0.9 ("Prev 0.9 req to
+    # train", ref:src/methods/HAT/approaches/hat.py:21) and HAT_SGD's
+    # momentum branch executes with it (ref:HAT_utils.py:233-245) — the
+    # step docstring's "Momentum is disregarded" is stale. Exposed as a
+    # knob for the A/B study (docs/hat_study.md).
+    momentum: float = 0.9
 
     def _model_and_state(self, manager, n_tasks_total):
         spec = manager.model_spec
@@ -618,7 +628,7 @@ class HAT(Method):
             model_mod, manager.model_spec, t,
             np.asarray(model["heads"]["class_counts"]),
             manager.dataset.mean, manager.dataset.std, smax,
-            None, mask_pre, mask_back,
+            None, mask_pre, mask_back, momentum=self.momentum,
             weight_decay=args.weight_decay, finetune_mode=finetune_mode)
         head_key = jax.random.fold_in(jax.random.PRNGKey(seed), 17)
         trainable = common.prepare_trainable(model, t, head_key,
