@@ -68,6 +68,9 @@ class EngineContext:
     weight_decay: float = 0.0
     freeze_backbone: bool = False  # head-only training (LwF warmup,
     # ref:src/methods/Finetune/main_SGD.py:72 freeze_mode)
+    # L1 weight decay: decay term wd*sign(theta) instead of wd*theta
+    # (MAS extra, ref:src/methods/MAS/train_MAS.py:72-76 L1_decay flag)
+    l1_decay: bool = False
     mesh: Any = None
     # None -> resolved in make_context: Pallas fused u8->norm on TPU,
     # jnp (XLA-fused) elsewhere. Override with CLSURVEY_PALLAS_PREPROCESS=0/1.
@@ -227,7 +230,13 @@ class Engine:
         grads = rule.transform_grads(ctx, grads, state.trainable,
                                      state.mstate)
         if ctx.weight_decay:
-            grads = tree_scale_add(grads, state.trainable, ctx.weight_decay)
+            if ctx.l1_decay:
+                grads = jax.tree_util.tree_map(
+                    lambda g, p: g + ctx.weight_decay * jnp.sign(p),
+                    grads, state.trainable)
+            else:
+                grads = tree_scale_add(grads, state.trainable,
+                                       ctx.weight_decay)
         # freeze AFTER weight decay: the reference's freeze_mode optimizes
         # only the classifier (ref:main_SGD.py:69-72), so frozen backbone
         # weights must not decay either

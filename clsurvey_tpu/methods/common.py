@@ -51,7 +51,8 @@ def prepare_trainable(model: dict, task: int, head_key=None,
 
 def build_engine(manager, update_rule: UpdateRule, task_counter: int,
                  augment: bool = True, freeze_backbone: bool = False,
-                 class_counts=None, n_tasks: int | None = None) -> Engine:
+                 class_counts=None, n_tasks: int | None = None,
+                 l1_decay: bool = False) -> Engine:
     """EngineContext from framework state. ``task_counter`` is 1-based."""
     seq = manager.dataset
     counts = class_counts
@@ -70,6 +71,7 @@ def build_engine(manager, update_rule: UpdateRule, task_counter: int,
         augment=augment,
         weight_decay=manager.args.weight_decay,
         freeze_backbone=freeze_backbone,
+        l1_decay=l1_decay,
     )
     return Engine(ctx)
 
@@ -81,7 +83,7 @@ def run_training(manager, update_rule: UpdateRule, lr: float,
                  task_data=None, mstate: Any = None,
                  freeze_backbone: bool = False,
                  class_counts=None, n_tasks: int | None = None,
-                 engine: Engine | None = None):
+                 engine: Engine | None = None, l1_decay: bool = False):
     """One full task training: the engine-driven equivalent of each
     reference method-main. Returns (best_model_dict, best_val_acc)."""
     args = manager.args
@@ -90,7 +92,8 @@ def run_training(manager, update_rule: UpdateRule, lr: float,
         engine = build_engine(manager, update_rule,
                               manager.task_counter, augment=augment,
                               freeze_backbone=freeze_backbone,
-                              class_counts=class_counts, n_tasks=n_tasks)
+                              class_counts=class_counts, n_tasks=n_tasks,
+                              l1_decay=l1_decay)
     ctx = engine.ctx
     head_key = jax.random.fold_in(jax.random.PRNGKey(seed), 17)
     # If the needed head width differs from the stored bank (e.g. Joint's

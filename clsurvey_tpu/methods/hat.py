@@ -519,11 +519,28 @@ def hat_train_task(engine: HATEngine, exp_dir: str, trainable, task_data,
             state, train_images, train_labels, perm, skey,
             jnp.float32(cur_lr), jnp.float32(cur_lamb), bsz)
         val_acc = engine.evaluate(state[0], val_images, val_labels, bsz)
-        log(f"HAT epoch {e}: loss={float(metrics['loss']):.4f} "
+        train_loss = float(metrics["loss"])
+        log(f"HAT epoch {e}: loss={train_loss:.4f} "
             f"val={val_acc:.4f} lr={cur_lr:g} lamb={cur_lamb}")
-        if np.isnan(float(metrics["loss"])):
-            log("NaN loss — aborting HAT training")  # NaN guard
-            break
+        if not np.isfinite(train_loss) or train_loss > 1e4:
+            # Divergence containment: the Phase-1 lr is selected with
+            # all-ones gates (hat_finetune) and can be unstable for the
+            # gated net; a diverged state would poison this and every
+            # later task (the reference's patience lr/3 cannot rescue
+            # already-exploded weights). Restore the last good weights,
+            # cut the lr, keep training — same policy as our PathNet NaN
+            # containment (docs/DEVIATIONS.md).
+            cur_lr /= lr_factor
+            if cur_lr < 1e-5:
+                log("diverged below lr floor — stopping")
+                break
+            restore = best_model if best_model is not None else task_start
+            state = (jax.tree_util.tree_map(jnp.asarray, restore),
+                     jax.tree_util.tree_map(
+                         lambda x: jnp.zeros_like(jnp.asarray(x)), restore))
+            patience = lr_patience
+            log(f"diverged — restored best weights, lr={cur_lr:g}")
+            continue
         if val_acc > best_acc:
             best_acc = val_acc
             best_model = io.to_host(state[0])

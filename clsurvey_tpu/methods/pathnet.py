@@ -211,7 +211,8 @@ class PathNetAlexNet(nn.Module):
         return self.layer_sizes()[1][-1]
 
 
-def module_train_mask(params, path: np.ndarray, frozen: np.ndarray):
+def module_train_mask(params, path: np.ndarray, frozen: np.ndarray,
+                      n_convs: int):
     """(M,)-per-layer gradient gate: 1 for modules in the current path and
     not frozen by previous best paths (ref ``unfreeze_path``)."""
     L = frozen.shape[0]
@@ -222,16 +223,18 @@ def module_train_mask(params, path: np.ndarray, frozen: np.ndarray):
 
     out = {}
     for name, leaf in params.items():
-        layer = _layer_index(name)
+        layer = _layer_index(name, n_convs)
         gate = jnp.asarray(per_layer[layer])
         out[name] = gate.reshape((-1,) + (1,) * (leaf.ndim - 1))
     return out
 
 
-def _layer_index(name: str) -> int:
-    # conv_i_* come first, then fc_j_* (conv count inferred by caller order)
+def _layer_index(name: str, n_convs: int) -> int:
+    """conv_i_* come first, then fc_j_* — offset by the model's own conv
+    count (passed explicitly: a process interleaving two PathNet configs
+    must not share a global)."""
     kind, idx, _ = name.split("_", 2)
-    return int(idx) if kind == "conv" else _layer_index.n_convs + int(idx)
+    return int(idx) if kind == "conv" else n_convs + int(idx)
 
 
 @dataclass
@@ -265,8 +268,6 @@ class PathNet(Method):
                                classifier_dims=spec.classifier_dims,
                                M=int(self.static_hyperparams["M"]),
                                N=int(N), dtype=spec.compute_dtype)
-        convs, _ = model.layer_sizes()
-        _layer_index.n_convs = len(convs)
         return model
 
     def _load_or_init(self, manager, model, N):
@@ -309,6 +310,8 @@ class PathNet(Method):
                     "bias": tr["heads"]["bias"],
                     "class_counts": class_counts}
 
+        from clsurvey_tpu.engine.train import gather_rows_u8
+
         @jax.jit
         def train_epoch(trainable, momentum, images, labels, perm, path,
                         gates, rng, lr):
@@ -319,8 +322,8 @@ class PathNet(Method):
                 tr, mom, r = carry
                 r, sub, pre = jax.random.split(r, 3)
                 idx = jax.lax.dynamic_slice_in_dim(perm, i * bsz, bsz)
-                x = pp.preprocess(pre, jnp.take(images, idx, 0), mean, std,
-                                  True)
+                x = pp.preprocess(pre, gather_rows_u8(images, idx), mean,
+                                  std, True)
                 y = jnp.take(labels, idx, 0)
 
                 def loss_fn(tr):
@@ -349,13 +352,41 @@ class PathNet(Method):
             return trainable, momentum
 
         @jax.jit
-        def eval_acc(trainable, images, labels, path):
-            x = pp.preprocess(jax.random.PRNGKey(0), images, mean, std,
-                              False)
-            feats = model.apply({"params": trainable["params"]}, x, path)
-            logits = heads_lib.forward(bank(trainable), feats, task)
-            return jnp.mean((jnp.argmax(logits, -1) == labels).astype(
-                jnp.float32))
+        def eval_counts(trainable, images, labels, path, idx, weights):
+            """Padded batched eval: weight-masked hit/total counters over
+            a scan of fixed-size batches — no full-split jit (OOM at
+            224px) and one compile per batch shape."""
+            def body(carry, inp):
+                c, t_ = carry
+                bidx, w = inp
+                x = pp.preprocess(jax.random.PRNGKey(0),
+                                  gather_rows_u8(images, bidx), mean, std,
+                                  False)
+                feats = model.apply({"params": trainable["params"]}, x,
+                                    path)
+                logits = heads_lib.forward(bank(trainable), feats, task)
+                y = jnp.take(labels, bidx, 0)
+                hit = (jnp.argmax(logits, -1) == y).astype(
+                    jnp.float32) * w
+                return (c + hit.sum(), t_ + w.sum()), None
+
+            (c, t_), _ = jax.lax.scan(
+                body, (jnp.float32(0), jnp.float32(0)), (idx, weights))
+            return c / jnp.maximum(t_, 1.0)
+
+        def eval_acc(trainable, images, labels, path,
+                     batch_size: int = 256):
+            n = int(images.shape[0])
+            batch_size = min(batch_size, n)
+            n_batches = -(-n // batch_size)
+            pad = n_batches * batch_size - n
+            idx = np.concatenate([np.arange(n), np.zeros(pad, np.int64)])
+            w = np.concatenate([np.ones(n, np.float32),
+                                np.zeros(pad, np.float32)])
+            return float(eval_counts(
+                trainable, images, labels, path,
+                jnp.asarray(idx.reshape(n_batches, batch_size)),
+                jnp.asarray(w.reshape(n_batches, batch_size))))
 
         return train_epoch, eval_acc
 
@@ -366,6 +397,7 @@ class PathNet(Method):
         model = self._module(manager, N)
         state = self._load_or_init(manager, model, N)
         L, M = model.n_layers, int(self.static_hyperparams["M"])
+        n_convs = len(model.layer_sizes()[0])
         aux = state.get("method_aux") or {}
         best_paths = [np.asarray(bp) for bp in aux.get("best_paths", [])]
         frozen = np.zeros((L, M), np.float32)
@@ -380,7 +412,7 @@ class PathNet(Method):
                                             state["init_params"])
             new_params = {}
             for name, leaf in params.items():
-                l = _layer_index(name)
+                l = _layer_index(name, n_convs)
                 gate = jnp.asarray(frozen[l]).reshape(
                     (-1,) + (1,) * (leaf.ndim - 1))
                 new_params[name] = leaf * gate + init_p[name] * (1 - gate)
@@ -422,7 +454,7 @@ class PathNet(Method):
         for g in range(generations):
             for p in range(self.P):
                 gates = module_train_mask(trainable["params"], paths[p],
-                                          frozen)
+                                          frozen, n_convs)
                 for e in range(nepochs_per_gen):
                     key, pk, sk = jax.random.split(key, 3)
                     perm = jax.random.permutation(pk, n_train)
@@ -504,21 +536,32 @@ class PathNet(Method):
                             manager.extras["heuristic_exp_dir"], args.seed)
 
     def inference_eval(self, manager, model_path, ref_task, trained_idx):
+        from clsurvey_tpu.framework.evaluate import _eval_split
+
         model = io.load(model_path) if isinstance(model_path, str) \
             else model_path
         aux = model.get("method_aux") or {}
         path = np.asarray(aux["best_paths"][ref_task - 1])
         N = path.shape[-1]
-        module = self._module(manager, N)
         td = manager.dataset.get_task_dataset(ref_task)
         class_counts = np.asarray(model["heads"]["class_counts"])
-        _, eval_acc = self._make_fns(module, manager.dataset.mean,
-                                     manager.dataset.std, class_counts,
-                                     ref_task - 1)
+        # cache compiled eval fns per (ref task, N) like the other methods
+        # do — the (task x model) matrix revisits each ref task repeatedly
+        cache_key = ("pathnet_eval_fns", ref_task, int(N))
+        fns = manager.extras.get(cache_key)
+        if fns is None:
+            module = self._module(manager, N)
+            fns = self._make_fns(module, manager.dataset.mean,
+                                 manager.dataset.std, class_counts,
+                                 ref_task - 1)
+            manager.extras[cache_key] = fns
+        _, eval_acc = fns
         trainable = jax.tree_util.tree_map(jnp.asarray, {
             "params": model["params"],
             "heads": {"kernel": model["heads"]["kernel"],
                       "bias": model["heads"]["bias"]}})
-        return float(eval_acc(trainable, jnp.asarray(td.test.images),
-                              jnp.asarray(td.test.labels),
-                              jnp.asarray(path)))
+        split = _eval_split(manager, td)  # honors --test_set
+        return float(eval_acc(trainable, jnp.asarray(split.images),
+                              jnp.asarray(split.labels),
+                              jnp.asarray(path),
+                              batch_size=manager.args.batch_size))

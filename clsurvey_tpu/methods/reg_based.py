@@ -123,6 +123,52 @@ def si_consolidate(prev_params, aux):
     return omega
 
 
+def orth_reg_grad(kernel: jnp.ndarray, beta: float,
+                  orth_lambda: float = 10.0, eps: float = 1e-10
+                  ) -> jnp.ndarray:
+    """Orthogonality-regularization gradient for a conv kernel — the MAS
+    extra hook (ref:src/methods/MAS/train_MAS.py:100-125 orth_org_hook;
+    beta = weight_decay like the reference's caller at :79-80).
+
+    Torch views the (out,in,kh,kw) weight as (out, -1) filters; our flax
+    kernel is (kh,kw,in,out), so filters = moveaxis(-1,0).reshape(out,-1).
+    """
+    out_c = kernel.shape[-1]
+    filters = jnp.moveaxis(kernel, -1, 0).reshape(out_c, -1)
+    norms = jnp.linalg.norm(filters, axis=1, keepdims=True)
+    f = filters / (norms + eps)
+    g = f @ f.T
+    g = jnp.exp(g * orth_lambda)
+    g = (g * orth_lambda) / (g + jnp.exp(jnp.float32(orth_lambda)))
+    g = g * (1.0 - jnp.eye(out_c, dtype=g.dtype))  # zero diagonal
+    grad = (g @ f) * beta
+    return jnp.moveaxis(grad.reshape((out_c,) + kernel.shape[:-1]), 0, -1)
+
+
+class MASRule(QuadRegRule):
+    """QuadReg + the optional orth-reg hook on conv kernels
+    (ref:src/methods/MAS/train_MAS.py:79-80: ``if self.orth_reg:
+    d_p.add_(orth_org_hook(p, {'beta': weight_decay}))``, applied after
+    decay, before momentum; off by default like the reference — no caller
+    ever passes orth_reg=True)."""
+
+    def __init__(self, orth_reg: bool = False):
+        self.orth_reg = orth_reg
+
+    def transform_grads(self, ctx, grads, trainable, mstate):
+        if not self.orth_reg:
+            return grads
+        beta = ctx.weight_decay  # reference passes beta=weight_decay
+
+        def per_leaf(g, p):
+            if p.ndim == 4:  # conv kernels only (ref hook returns 0 else)
+                return g + orth_reg_grad(p, beta)
+            return g
+
+        return {**grads, "params": jax.tree_util.tree_map(
+            per_leaf, grads["params"], trainable["params"])}
+
+
 def _bank_from_model(model):
     return {"kernel": jnp.asarray(model["heads"]["kernel"]),
             "bias": jnp.asarray(model["heads"]["bias"]),
@@ -137,6 +183,9 @@ class _RegMethodBase(Method):
 
     def make_update_rule(self) -> UpdateRule:
         return QuadRegRule()
+
+    def _l1_decay(self) -> bool:
+        return False
 
     def grid_train(self, args, manager, lr):
         """Phase 1 is plain finetuning (maximal plasticity)."""
@@ -199,7 +248,7 @@ class _RegMethodBase(Method):
             manager, rule, lr=manager.extras["lr"],
             hyperparams=dict(hyperparams), exp_dir=exp_dir,
             start_model=prev_model, seed=args.seed, mstate=mstate,
-            engine=engine)
+            engine=engine, l1_decay=self._l1_decay())
         manager.extras["reg_engine"] = engine
         manager.extras["reg_engine_task"] = manager.task_counter
         return best_model, best_acc
@@ -239,9 +288,24 @@ class EWC(_RegMethodBase):
 
 @dataclass
 class MAS(_RegMethodBase):
+    """MAS b1 online mode. The reference's auxiliary knobs ride as static
+    hyperparams, both off by default exactly like the reference
+    (ref:src/methods/MAS/main_MAS.py:36 L1_decay=False;
+    train_MAS.py:23 orth_reg=False, no caller enables it):
+    ``--static_hyperparams "l1;orth"`` with 0/1 values."""
+
     name: str = "MAS"
     hyperparams: "OrderedDict[str, float]" = field(
         default_factory=lambda: OrderedDict({"lambda": 3}))
+    static_hyperparams: "OrderedDict[str, float]" = field(
+        default_factory=lambda: OrderedDict(
+            {"l1_decay": 0, "orth_reg": 0}))
+
+    def make_update_rule(self) -> UpdateRule:
+        return MASRule(orth_reg=bool(self.static_hyperparams["orth_reg"]))
+
+    def _l1_decay(self) -> bool:
+        return bool(self.static_hyperparams["l1_decay"])
 
     def _prepare(self, args, manager):
         prev_model = io.load(manager.previous_task_model_path)

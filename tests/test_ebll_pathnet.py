@@ -132,8 +132,10 @@ def test_pathnet_diverged_candidate_cannot_poison_frozen_modules(tmp_path):
         for layer in range(L):
             for k in p[layer]:
                 frozen[layer, k % M] = 1
+    n_convs = sum(1 for n in out1["params"]
+                  if n.startswith("conv_") and n.endswith("_kernel"))
     for name in out1["params"]:
-        layer = _layer_index(name)
+        layer = _layer_index(name, n_convs)
         a = np.asarray(out1["params"][name])
         b = np.asarray(out2["params"][name])
         assert np.isfinite(b).all(), f"non-finite {name}"
@@ -141,3 +143,73 @@ def test_pathnet_diverged_candidate_cannot_poison_frozen_modules(tmp_path):
             if frozen[layer, mod]:
                 np.testing.assert_array_equal(a[mod], b[mod],
                                               err_msg=f"{name}[{mod}]")
+
+
+def test_pathnet_eval_honors_test_set(tmp_path):
+    """--test_set val must evaluate the val split (VERDICT r1 #6; the
+    reference eval honors the subset arg, ref:src/framework/main.py:74)."""
+    from collections import OrderedDict
+
+    from clsurvey_tpu.data.registry import parse as parse_ds
+    from clsurvey_tpu.framework.common import Manager, RunArgs
+    from clsurvey_tpu.methods.pathnet import PathNet
+
+    spec_path = str(tmp_path / "models")
+    from clsurvey_tpu.models.registry import parse_model_name
+    spec = parse_model_name(spec_path, "tiny_CNN_cl_32_32", (32, 32))
+    ds = parse_ds("synthetic_1t_4c_32px")
+    args = RunArgs(model_name="tiny_CNN_cl_32_32",
+                   ds_name="synthetic_1t_4c_32px", num_epochs=4,
+                   batch_size=32, lr_grid=(1e-2,), gridsearch_name="g")
+    m = Manager(args=args, dataset=ds, method=None, model_spec=spec)
+    pn = PathNet(static_hyperparams=OrderedDict({"M": 2, "generations": 1}))
+    pn.hyperparams = OrderedDict({"N": 1})
+    m.set_dataset(1)
+    m.extras["lr"] = 1e-2
+    out, _ = pn._evolve(args, m, N=1, generations=1, nepochs_per_gen=4,
+                        exp_dir=str(tmp_path / "t1"), seed=7)
+
+    # corrupt the cached test split so the two subsets are distinguishable
+    td = ds.get_task_dataset(1)
+    td.test.labels[:] = (td.test.labels + 1) % 4
+
+    args.test_set = "test"
+    acc_test = pn.inference_eval(m, out, 1, 1)
+    args.test_set = "val"
+    acc_val = pn.inference_eval(m, out, 1, 1)
+    assert acc_val > 0.9          # learnable split, trained path
+    assert acc_test < 0.1         # rotated labels -> near zero
+    assert acc_val - acc_test > 0.5
+
+
+def test_module_train_mask_two_configs_interleaved():
+    """Two PathNet configs with different conv counts used in the same
+    process must not corrupt each other's fc layer indexing (VERDICT r1
+    weak #5: the old `_layer_index.n_convs` global side channel)."""
+    import jax.numpy as jnp
+
+    from clsurvey_tpu.methods.pathnet import module_train_mask
+
+    M = 3
+    params_a = {  # 1 conv + 1 fc -> L = 2
+        "conv_0_kernel": jnp.zeros((M, 3, 3, 3, 4)),
+        "fc_0_kernel": jnp.zeros((M, 8, 4)),
+    }
+    params_b = {  # 2 convs + 1 fc -> L = 3
+        "conv_0_kernel": jnp.zeros((M, 3, 3, 3, 4)),
+        "conv_1_kernel": jnp.zeros((M, 3, 3, 4, 4)),
+        "fc_0_kernel": jnp.zeros((M, 8, 4)),
+    }
+    path_a = np.array([[0], [1]])           # fc uses module 1
+    path_b = np.array([[0], [0], [2]])      # fc uses module 2
+    frozen_a = np.zeros((2, M), np.float32)
+    frozen_b = np.zeros((3, M), np.float32)
+
+    # interleave: a, b, a — each must see its own layer mapping
+    for _ in range(2):
+        ga = module_train_mask(params_a, path_a, frozen_a, n_convs=1)
+        gb = module_train_mask(params_b, path_b, frozen_b, n_convs=2)
+        np.testing.assert_array_equal(
+            np.asarray(ga["fc_0_kernel"]).ravel(), [0, 1, 0])
+        np.testing.assert_array_equal(
+            np.asarray(gb["fc_0_kernel"]).ravel(), [0, 0, 1])

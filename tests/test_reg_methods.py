@@ -241,3 +241,82 @@ def test_si_consolidate_stays_finite():
     np.testing.assert_allclose(got[2], 0.5 + 0.004 / 1e-3, rtol=1e-5)
     # poisoned entries contribute nothing
     np.testing.assert_allclose(got[:2], [0.5, 0.5])
+
+
+def test_orth_reg_grad_matches_torch_transcription():
+    """MAS orth hook golden test vs a direct transcription of the
+    reference (ref:src/methods/MAS/train_MAS.py:100-125 orth_org_hook),
+    accounting for torch (out,in,kh,kw) vs flax (kh,kw,in,out) layouts."""
+    import math
+
+    import torch
+
+    from clsurvey_tpu.methods.reg_based import orth_reg_grad
+
+    rng = np.random.default_rng(0)
+    kernel_flax = rng.normal(0, 0.5, (3, 3, 4, 6)).astype(np.float32)
+    beta = 0.01
+
+    # torch transcription on the (out,in,kh,kw) layout
+    p = torch.tensor(
+        np.ascontiguousarray(np.transpose(kernel_flax, (3, 2, 0, 1))))
+    eps, orth_lambda = 1e-10, 10
+    filters = p.data.clone().view(p.size(0), -1)
+    norms = filters.norm(2, 1).squeeze()
+    norms = norms.view(-1, 1).expand(filters.size())
+    filters.div_(norms + eps)
+    grad = torch.mm(filters, filters.transpose(1, 0))
+    grad = torch.exp(grad * orth_lambda)
+    grad = (grad * orth_lambda).div(grad + math.exp(orth_lambda))
+    idx = torch.LongTensor(range(grad.size(0)))
+    grad[idx, idx] = 0
+    grad = torch.mm(grad, filters) * beta
+    expected = grad.view(p.size()).numpy()           # (out,in,kh,kw)
+    expected_flax = np.transpose(expected, (2, 3, 1, 0))
+
+    got = np.asarray(orth_reg_grad(jnp.asarray(kernel_flax), beta))
+    np.testing.assert_allclose(got, expected_flax, rtol=1e-5, atol=1e-7)
+
+
+def test_mas_l1_decay_step(setup):
+    """With l1_decay the update applies wd*sign(theta) instead of
+    wd*theta (ref:src/methods/MAS/train_MAS.py:72-76)."""
+    from clsurvey_tpu.methods.reg_based import MASRule
+
+    spec, seq, sd = setup
+    td = seq.get_task_dataset(1)
+    wd, lr = 0.05, 0.1
+    rule = MASRule()
+    results = {}
+    for l1 in (False, True):
+        ctx = make_context(spec, task=0, n_tasks=1, class_counts=[4, 4],
+                           mean=seq.mean, std=seq.std, update_rule=rule,
+                           augment=False, mesh=None, weight_decay=wd,
+                           l1_decay=l1)
+        engine = Engine(ctx)
+        trainable = _trainable(sd)
+        mstate = rule.init_state(trainable, {"lambda": 0.0}, ctx)
+        state = TrainState(_trainable(sd), {}, tree_zeros_like(trainable),
+                           mstate)
+        x_u8 = jnp.asarray(td.train.images[:16])
+        y = jnp.asarray(td.train.labels[:16])
+        new_state, _ = engine._train_step(
+            state, x_u8, y, jax.random.PRNGKey(0), jnp.float32(lr))
+        results[l1] = jax.tree_util.tree_leaves(
+            new_state.trainable["params"])
+    before = jax.tree_util.tree_leaves(_trainable(sd)["params"])
+    # difference between the two runs is exactly lr*wd*(sign(p) - p)
+    for b, l2_leaf, l1_leaf in zip(before, results[False], results[True]):
+        b = np.asarray(b)
+        delta = np.asarray(l1_leaf) - np.asarray(l2_leaf)
+        np.testing.assert_allclose(
+            delta, -lr * wd * (np.sign(b) - b), rtol=1e-4, atol=1e-6)
+
+
+def test_mas_orth_reg_off_by_default():
+    from clsurvey_tpu.methods.reg_based import MAS, MASRule
+
+    m = MAS()
+    rule = m.make_update_rule()
+    assert isinstance(rule, MASRule) and not rule.orth_reg
+    assert not m._l1_decay()
