@@ -509,6 +509,7 @@ def hat_train_task(engine: HATEngine, exp_dir: str, trainable, task_data,
                 best_model = io.load(best_path)
             log(f"HAT resumed epoch {start_epoch} lr={cur_lr:g}")
     root = jax.random.PRNGKey(seed)
+    best_loss = float("inf")
     for e in range(start_epoch, nepochs):
         cur_lamb = 0.0 if in_warmup else lamb
         ekey = jax.random.fold_in(root, e)
@@ -522,14 +523,18 @@ def hat_train_task(engine: HATEngine, exp_dir: str, trainable, task_data,
         train_loss = float(metrics["loss"])
         log(f"HAT epoch {e}: loss={train_loss:.4f} "
             f"val={val_acc:.4f} lr={cur_lr:g} lamb={cur_lamb}")
-        if not np.isfinite(train_loss) or train_loss > 1e4:
+        if not np.isfinite(train_loss) or train_loss > \
+                2.0 * best_loss + 2.0:
             # Divergence containment: the Phase-1 lr is selected with
             # all-ones gates (hat_finetune) and can be unstable for the
             # gated net; a diverged state would poison this and every
             # later task (the reference's patience lr/3 cannot rescue
-            # already-exploded weights). Restore the last good weights,
-            # cut the lr, keep training — same policy as our PathNet NaN
-            # containment (docs/DEVIATIONS.md).
+            # already-exploded weights — a loss jump slams embeddings to
+            # the +-6 clamp, permanently closing gates). Restore the last
+            # good weights, cut the lr, keep training — same policy as
+            # our PathNet NaN containment (docs/DEVIATIONS.md). The
+            # adaptive threshold (2x best CE + 2) catches soft collapses
+            # that stay finite.
             cur_lr /= lr_factor
             if cur_lr < 1e-5:
                 log("diverged below lr floor — stopping")
@@ -541,6 +546,7 @@ def hat_train_task(engine: HATEngine, exp_dir: str, trainable, task_data,
             patience = lr_patience
             log(f"diverged — restored best weights, lr={cur_lr:g}")
             continue
+        best_loss = min(best_loss, train_loss)
         if val_acc > best_acc:
             best_acc = val_acc
             best_model = io.to_host(state[0])
