@@ -22,6 +22,31 @@ import jax.numpy as jnp
 import numpy as np
 
 V100_REF_IMGS_PER_SEC = 2000.0
+V5E_BF16_PEAK_TFLOPS = 197.0  # per chip
+
+
+def vgg_train_flops_per_img(cfg_name: str, classifier_dims, px: int,
+                            n_classes: int) -> float:
+    """Analytic fwd+bwd FLOPs per image for a VGG_CFG model: 2*H*W*k^2*
+    Cin*Cout per conv forward, x3 for training (dgrad + wgrad)."""
+    from clsurvey_tpu.models.backbones import VGG_CFG
+
+    flops = 0.0
+    h = w = px
+    cin = 3
+    for v in VGG_CFG[cfg_name]:
+        if v == "M":
+            h //= 2
+            w //= 2
+            continue
+        flops += 2.0 * h * w * 9 * cin * int(v)
+        cin = int(v)
+    feat = cin * h * w
+    dims = list(classifier_dims) + [n_classes]
+    for d in dims:
+        flops += 2.0 * feat * d
+        feat = d
+    return 3.0 * flops
 
 
 def main():
@@ -92,6 +117,9 @@ def main():
                                                  images, labels),
         "alexnet224_imgs_per_sec": _bench_alexnet224(),
     }
+    flops_img = vgg_train_flops_per_img("small_VGG9", (128, 128), 64, 20)
+    extras["mfu_pct"] = round(
+        100.0 * imgs_per_sec * flops_img / (V5E_BF16_PEAK_TFLOPS * 1e12), 2)
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 1),

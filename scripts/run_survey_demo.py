@@ -64,7 +64,8 @@ EPOCHS_OVERRIDE = {"HAT": 60, "pathnet": 30}
 
 
 def run_all(ds_name: str, epochs: int, batch_size: int, out_base: str,
-            only=None, max_attempts: int = 3):
+            only=None, max_attempts: int = 3,
+            lr_grid=(5e-2, 1e-2), boot_lr_grid=None, hp_overrides=None):
     # Import every module the sweep will need up-front — including the
     # lazily-imported eval/postprocessing path — so code committed to the
     # repo mid-run can never be mixed into this process (a stale-paths /
@@ -77,7 +78,8 @@ def run_all(ds_name: str, epochs: int, batch_size: int, out_base: str,
     from clsurvey_tpu.framework.main import main as run_main
 
     common = dict(model_name=MODEL, ds_name=ds_name, num_epochs=epochs,
-                  batch_size=batch_size, lr_grid=(5e-2, 1e-2),
+                  batch_size=batch_size, lr_grid=tuple(lr_grid),
+                  boot_lr_grid=tuple(boot_lr_grid) if boot_lr_grid else None,
                   gridsearch_name=GRID, max_attempts_per_task=max_attempts)
 
     t0 = time.time()
@@ -94,7 +96,12 @@ def run_all(ds_name: str, epochs: int, batch_size: int, out_base: str,
         try:
             kw = dict(common)
             if name in EPOCHS_OVERRIDE:
-                kw["num_epochs"] = EPOCHS_OVERRIDE[name]
+                # overrides RAISE the budget for the patience-controller
+                # methods at demo scale; at protocol scale (>= the
+                # override) every method gets the shared epoch budget
+                kw["num_epochs"] = max(EPOCHS_OVERRIDE[name], epochs)
+            if hp_overrides and name in hp_overrides:
+                hp = hp_overrides[name]
             run_main(RunArgs(method_name=name, test=True, hyperparams=hp,
                              static_hyperparams=shp, **kw))
             statuses[name] = {"ok": True, "secs": round(time.time() - t1)}
@@ -161,20 +168,36 @@ def main(argv=None):
     ap.add_argument("--tasks", type=int, default=10)
     ap.add_argument("--classes", type=int, default=10)
     ap.add_argument("--px", type=int, default=64)
+    ap.add_argument("--n", type=int, default=None,
+                    help="train imgs per class (Tiny protocol: 400)")
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--batch_size", type=int, default=100)
     ap.add_argument("--max_attempts", type=int, default=3)
+    ap.add_argument("--lr_grid", default="5e-2,1e-2",
+                    help="protocol: 1e-2,5e-3,1e-3,5e-4,1e-4")
+    ap.add_argument("--boot_lr_grid", default=None,
+                    help="protocol: 1e-1,5e-2,1e-2,5e-3,1e-3,5e-4,1e-4")
+    ap.add_argument("--hp", action="append", default=[],
+                    help="per-method hyperparam override, e.g. HAT=800,2.5")
     ap.add_argument("--out", default="docs/survey_demo")
     ap.add_argument("--methods", default=None,
                     help="comma-separated subset")
     ap.add_argument("--postprocess_only", action="store_true")
     a = ap.parse_args(argv)
     ds_name = f"synthetic_{a.tasks}t_{a.classes}c_{a.px}px"
+    if a.n:
+        ds_name += f"_{a.n}n"
     os.makedirs(os.path.dirname(a.out) or ".", exist_ok=True)
     if not a.postprocess_only:
         only = set(a.methods.split(",")) if a.methods else None
-        statuses = run_all(ds_name, a.epochs, a.batch_size, a.out,
-                           only=only, max_attempts=a.max_attempts)
+        hp_overrides = dict(s.split("=", 1) for s in a.hp)
+        statuses = run_all(
+            ds_name, a.epochs, a.batch_size, a.out,
+            only=only, max_attempts=a.max_attempts,
+            lr_grid=tuple(float(x) for x in a.lr_grid.split(",")),
+            boot_lr_grid=tuple(float(x) for x in a.boot_lr_grid.split(","))
+            if a.boot_lr_grid else None,
+            hp_overrides=hp_overrides)
         print(json.dumps(statuses, indent=1))
         status_path = a.out + "_status.json"
         if only and os.path.isfile(status_path):
