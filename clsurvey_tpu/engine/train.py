@@ -137,18 +137,19 @@ def make_context(spec: ModelSpec, task: int, n_tasks: int,
 # ---------------------------------------------------------------------------
 
 def gather_rows_u8(images: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Batch gather from the resident uint8 dataset as a one-hot matmul.
+    """Batch row gather from the resident uint8 dataset.
 
-    XLA:TPU lowers row ``gather`` on large uint8 arrays to a pathologically
-    slow path (~16ms for 200 rows of 64x64x3 measured on v5e); the
-    equivalent one-hot bf16 matmul runs on the MXU in ~1.6ms and is EXACT:
-    uint8 values (<=255) and 0/1 selectors are exactly representable in
-    bfloat16. Returns bf16 with the original pixel values."""
-    n = images.shape[0]
-    oh = jax.nn.one_hot(idx, n, dtype=jnp.bfloat16)
-    flat = images.reshape(n, -1).astype(jnp.bfloat16)
-    out = oh @ flat
-    return out.reshape((idx.shape[0],) + images.shape[1:])
+    Native ``jnp.take`` measures within ~5% of a contiguous
+    ``dynamic_slice`` (the speed-of-light reference) at both the 64px and
+    224px protocol shapes on v5e — 0.64 vs 0.56 ms/batch at bs=200
+    n=20k/64px, 0.77 vs 0.74 ms at n=4k/224px (scripts/bench_gather.py,
+    host-read-forced timing). The r1 one-hot bf16 matmul workaround
+    measured 2-3x SLOWER once timed correctly (its FLOPs scale with
+    dataset size: 2*bs*n*rowbytes ~ 98 GFLOP/batch at n=20k — on par
+    with small_VGG9's own fwd+bwd), and the '~16ms jnp.take' number it
+    was built on was an async-dispatch artifact of the tunneled backend.
+    Returns uint8 rows."""
+    return jnp.take(images, idx, axis=0)
 
 
 def tree_add(a, b):

@@ -49,6 +49,31 @@ def prepare_trainable(model: dict, task: int, head_key=None,
     return trainable
 
 
+def rebuild_head_bank(old_bank: dict, head_key, n_tasks: int,
+                      class_counts: np.ndarray) -> dict:
+    """Rebuild the stacked head bank at a new width/task count, preserving
+    every already-trained slot (analog of the reference's
+    replace-last-classifier-layer with ``len(dset_classes)`` outputs,
+    ref:src/methods/Finetune/main_SGD.py:50-70 — but the bank carries ALL
+    tasks' heads, so a mid-sequence width change must never wipe the other
+    tasks' trained heads). The current task's slot is freshly initialised
+    by ``prepare_trainable`` afterwards regardless."""
+    kern = np.asarray(old_bank["kernel"])
+    old_bias = np.asarray(old_bank["bias"])
+    needed_width = int(np.max(class_counts))
+    bank = heads_lib.init_head_bank(
+        head_key, max(n_tasks, kern.shape[0]), kern.shape[1],
+        needed_width, class_counts)
+    w = min(kern.shape[-1], needed_width)
+    nt = min(kern.shape[0], np.asarray(bank["kernel"]).shape[0])
+    kernel = np.array(bank["kernel"])
+    bias = np.array(bank["bias"])
+    kernel[:nt, :, :w] = kern[:nt, :, :w]
+    bias[:nt, :w] = old_bias[:nt, :w]
+    return {**bank, "kernel": jnp.asarray(kernel),
+            "bias": jnp.asarray(bias)}
+
+
 def build_engine(manager, update_rule: UpdateRule, task_counter: int,
                  augment: bool = True, freeze_backbone: bool = False,
                  class_counts=None, n_tasks: int | None = None,
@@ -104,9 +129,9 @@ def run_training(manager, update_rule: UpdateRule, lr: float,
     kern = np.asarray(model["heads"]["kernel"])
     if kern.shape[-1] != needed_width or kern.shape[0] < ctx.n_tasks:
         model = dict(model)
-        model["heads"] = heads_lib.init_head_bank(
-            head_key, max(ctx.n_tasks, kern.shape[0]), kern.shape[1],
-            needed_width, np.asarray(ctx.class_counts))
+        model["heads"] = rebuild_head_bank(
+            model["heads"], head_key, ctx.n_tasks,
+            np.asarray(ctx.class_counts))
     trainable = prepare_trainable(model, ctx.task, head_key,
                                   reinit_head=reinit_head)
     if mstate is None:

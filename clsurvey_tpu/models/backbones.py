@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -47,6 +48,32 @@ conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 dense_init = nn.initializers.normal(stddev=0.01)
 
 
+@jax.custom_vjp
+def relu(x):
+    """relu with an output-based VJP.
+
+    ``jax.nn.relu`` saves its INPUT for the backward mask, so in a
+    conv+bias+relu block XLA must materialize both the pre-activation and
+    the activation (2x ~105MB at the flagship's 200x64x64x64 stage — the
+    step is HBM-bound there, see the r2 profile notes in docs/PERF.md).
+    Masking on the OUTPUT (y > 0) is identical everywhere (at x==0 both
+    give 0) and lets XLA fuse bias+relu into the conv and keep only the
+    activation."""
+    return jnp.maximum(x, 0)
+
+
+def _relu_fwd(x):
+    y = jnp.maximum(x, 0)
+    return y, y
+
+
+def _relu_bwd(y, g):
+    return (jnp.where(y > 0, g, jnp.zeros_like(g)),)
+
+
+relu.defvjp(_relu_fwd, _relu_bwd)
+
+
 class VGGFeatures(nn.Module):
     """Conv feature extractor from a VGG config tuple."""
 
@@ -69,7 +96,7 @@ class VGGFeatures(nn.Module):
                         use_running_average=not train, momentum=0.9,
                         epsilon=1e-5, dtype=jnp.float32, name=f"bn_{i}",
                     )(x)
-                x = nn.relu(x)
+                x = relu(x)
         return x
 
 
@@ -93,7 +120,7 @@ class ClassifierTrunk(nn.Module):
         for j, d in enumerate(self.dims):
             x = nn.Dense(int(d), dtype=self.dtype, kernel_init=kinit,
                          name=f"fc_{j}")(x)
-            x = nn.relu(x)
+            x = relu(x)
             if self.dropout:
                 x = nn.Dropout(rate=0.5, deterministic=not train)(x)
         return x
@@ -137,13 +164,13 @@ class AlexNetBackbone(nn.Module):
         conv = lambda f, k, s, p, name: nn.Conv(
             f, (k, k), strides=(s, s), padding=[(p, p), (p, p)],
             dtype=self.dtype, kernel_init=conv_init, name=name)
-        x = nn.relu(conv(64, 11, 4, 2, "conv_0")(x))
+        x = relu(conv(64, 11, 4, 2, "conv_0")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = nn.relu(conv(192, 5, 1, 2, "conv_1")(x))
+        x = relu(conv(192, 5, 1, 2, "conv_1")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = nn.relu(conv(384, 3, 1, 1, "conv_2")(x))
-        x = nn.relu(conv(256, 3, 1, 1, "conv_3")(x))
-        x = nn.relu(conv(256, 3, 1, 1, "conv_4")(x))
+        x = relu(conv(384, 3, 1, 1, "conv_2")(x))
+        x = relu(conv(256, 3, 1, 1, "conv_3")(x))
+        x = relu(conv(256, 3, 1, 1, "conv_4")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
         x = x.reshape((x.shape[0], -1))  # 6*6*256 for 224x224 input
         for j in (0, 1):
@@ -151,7 +178,7 @@ class AlexNetBackbone(nn.Module):
                 x = nn.Dropout(rate=0.5, deterministic=not train)(x)
             x = nn.Dense(4096, dtype=self.dtype, kernel_init=dense_init,
                          name=f"fc_{j}")(x)
-            x = nn.relu(x)
+            x = relu(x)
         return x.astype(jnp.float32)
 
     @property

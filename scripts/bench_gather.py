@@ -35,12 +35,12 @@ def main():
 
     def run(name, fn, *args):
         out = fn(*args)                      # compile
-        jax.block_until_ready(out)
+        _ = float(out)  # forced host read: tunnel async dispatch
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             out = fn(*args)
-            jax.block_until_ready(out)
+            _ = float(out)
             best = min(best, time.perf_counter() - t0)
         per_batch_ms = best / steps * 1e3
         print(f"{name:10s} {per_batch_ms:8.3f} ms/batch "
@@ -55,14 +55,14 @@ def main():
         def body(acc, i):
             oh = jax.nn.one_hot(i, n, dtype=jnp.bfloat16)
             out = oh @ images.reshape(n, -1).astype(jnp.bfloat16)
-            return acc + out.sum(), None
+            return acc + jnp.tanh(out).sum(), None
         return jax.lax.scan(body, jnp.bfloat16(0), idx)[0]
 
     @jax.jit
     def take_u8(images, idx):
         def body(acc, i):
             out = jnp.take(images, i, axis=0)
-            return acc + out.astype(jnp.bfloat16).sum(), None
+            return acc + jnp.tanh(out.astype(jnp.bfloat16)).sum(), None
         return jax.lax.scan(body, jnp.bfloat16(0), idx)[0]
 
     @jax.jit
@@ -70,14 +70,14 @@ def main():
         def body(acc, i):
             out = jnp.take(images_i32, i, axis=0)
             u8 = jax.lax.bitcast_convert_type(out, jnp.uint8)
-            return acc + u8.astype(jnp.bfloat16).sum(), None
+            return acc + jnp.tanh(u8.astype(jnp.bfloat16)).sum(), None
         return jax.lax.scan(body, jnp.bfloat16(0), idx)[0]
 
     @jax.jit
     def slice_seq(images):
         def body(acc, k):
             out = jax.lax.dynamic_slice_in_dim(images, k * bs, bs)
-            return acc + out.astype(jnp.bfloat16).sum(), None
+            return acc + jnp.tanh(out.astype(jnp.bfloat16)).sum(), None
         return jax.lax.scan(body, jnp.bfloat16(0),
                             jnp.arange(steps) % (n // bs))[0]
 

@@ -65,7 +65,8 @@ EPOCHS_OVERRIDE = {"HAT": 60, "pathnet": 30}
 
 def run_all(ds_name: str, epochs: int, batch_size: int, out_base: str,
             only=None, max_attempts: int = 3,
-            lr_grid=(5e-2, 1e-2), boot_lr_grid=None, hp_overrides=None):
+            lr_grid=(5e-2, 1e-2), boot_lr_grid=None, hp_overrides=None,
+            shp_overrides=None):
     # Import every module the sweep will need up-front — including the
     # lazily-imported eval/postprocessing path — so code committed to the
     # repo mid-run can never be mixed into this process (a stale-paths /
@@ -102,6 +103,8 @@ def run_all(ds_name: str, epochs: int, batch_size: int, out_base: str,
                 kw["num_epochs"] = max(EPOCHS_OVERRIDE[name], epochs)
             if hp_overrides and name in hp_overrides:
                 hp = hp_overrides[name]
+            if shp_overrides and name in shp_overrides:
+                shp = shp_overrides[name]
             run_main(RunArgs(method_name=name, test=True, hyperparams=hp,
                              static_hyperparams=shp, **kw))
             statuses[name] = {"ok": True, "secs": round(time.time() - t1)}
@@ -179,6 +182,9 @@ def main(argv=None):
                     help="protocol: 1e-1,5e-2,1e-2,5e-3,1e-3,5e-4,1e-4")
     ap.add_argument("--hp", action="append", default=[],
                     help="per-method hyperparam override, e.g. HAT=800,2.5")
+    ap.add_argument("--shp", action="append", default=[],
+                    help="per-method static-hyperparam override, "
+                         "e.g. GEM=1024 (protocol memory size)")
     ap.add_argument("--out", default="docs/survey_demo")
     ap.add_argument("--methods", default=None,
                     help="comma-separated subset")
@@ -191,13 +197,14 @@ def main(argv=None):
     if not a.postprocess_only:
         only = set(a.methods.split(",")) if a.methods else None
         hp_overrides = dict(s.split("=", 1) for s in a.hp)
+        shp_overrides = dict(s.split("=", 1) for s in a.shp)
         statuses = run_all(
             ds_name, a.epochs, a.batch_size, a.out,
             only=only, max_attempts=a.max_attempts,
             lr_grid=tuple(float(x) for x in a.lr_grid.split(",")),
             boot_lr_grid=tuple(float(x) for x in a.boot_lr_grid.split(","))
             if a.boot_lr_grid else None,
-            hp_overrides=hp_overrides)
+            hp_overrides=hp_overrides, shp_overrides=shp_overrides)
         print(json.dumps(statuses, indent=1))
         status_path = a.out + "_status.json"
         if only and os.path.isfile(status_path):

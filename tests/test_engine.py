@@ -68,6 +68,7 @@ def test_synthetic_dataset():
     np.testing.assert_array_equal(td.train.images, td2.train.images)
 
 
+@pytest.mark.smoke
 def test_train_task_learns(spec, tmp_path):
     """End-to-end slice: finetune on one synthetic task, acc should be high
     and artifacts written."""

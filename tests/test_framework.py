@@ -25,6 +25,7 @@ def ft_args():
     )
 
 
+@pytest.mark.smoke
 def test_finetune_full_pipeline(fresh_config, ft_args):
     """Train FT over 2 synthetic tasks through the LR grid, then evaluate the
     full accuracy matrix and check the result-dict artifact format

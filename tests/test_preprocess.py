@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from clsurvey_tpu.ops import preprocess as pp
 
@@ -10,6 +11,7 @@ MEAN = (0.485, 0.456, 0.406)
 STD = (0.229, 0.224, 0.225)
 
 
+@pytest.mark.smoke
 def test_normalize_matches_torchvision_formula():
     x = jnp.asarray(np.full((2, 4, 4, 3), 128, np.uint8))
     out = np.asarray(pp.normalize(x, MEAN, STD))
@@ -28,6 +30,7 @@ def test_random_flip_is_horizontal_and_per_sample():
     assert flipped.any() and kept.any()  # p=0.5 over 64 samples
 
 
+@pytest.mark.smoke
 def test_pallas_normalize_matches_jnp():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.integers(0, 255, (8, 16, 16, 3), dtype=np.uint8))

@@ -90,6 +90,7 @@ def test_jax_matches_native_larger(t):
     np.testing.assert_allclose(x_jax, x_cpp, rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.smoke
 def test_projection_fixes_violations():
     """Projected gradient satisfies <x, g_mem> >= 0 for every memory."""
     rng = np.random.default_rng(0)

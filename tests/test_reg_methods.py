@@ -84,6 +84,7 @@ def test_quadreg_penalty_enters_before_momentum(setup):
                                    atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_si_path_integral_first_step(setup):
     """After one step with omega=0: w = -delta_theta*g_raw = lr*g_raw^2
     (ref:src/methods/SI/train_SI.py:98-126)."""
@@ -114,6 +115,7 @@ def test_si_path_integral_first_step(setup):
                                    rtol=2e-4, atol=1e-10)
 
 
+@pytest.mark.smoke
 def test_si_consolidate_formula():
     params = {"a": jnp.asarray([1.0, 2.0])}
     aux = {"omega": {"a": np.asarray([0.5, 0.5])},

@@ -39,3 +39,36 @@ def test_unequal_counts_full_pipeline(fresh_config):
         # accuracy on its own model should clear chance comfortably
         assert accs[-1] >= 0.0
     assert load_seq_res(out_dir, "finetuning", 2)[0] > 60.0
+
+
+def test_rebuild_head_bank_preserves_trained_slots():
+    """A width/task-count rebuild must carry over every existing head slot
+    (latent footgun flagged in r1: fresh init wiped all tasks' heads)."""
+    import jax
+
+    from clsurvey_tpu.methods.common import rebuild_head_bank
+    from clsurvey_tpu.models import heads as heads_lib
+
+    key = jax.random.PRNGKey(0)
+    bank = heads_lib.init_head_bank(key, 3, feat_dim=8, num_classes=4,
+                                    class_counts=[4, 3, 4])
+    trained = {
+        "kernel": np.asarray(bank["kernel"]) + 1.0,  # pretend-trained
+        "bias": np.asarray(bank["bias"]) + 2.0,
+        "class_counts": bank["class_counts"],
+    }
+    new = rebuild_head_bank(trained, jax.random.PRNGKey(1), n_tasks=4,
+                            class_counts=np.asarray([4, 3, 4, 7]))
+    assert np.asarray(new["kernel"]).shape == (4, 8, 7)
+    # old slots preserved in the overlapping width
+    np.testing.assert_array_equal(np.asarray(new["kernel"])[:3, :, :4],
+                                  trained["kernel"])
+    np.testing.assert_array_equal(np.asarray(new["bias"])[:3, :4],
+                                  trained["bias"])
+    np.testing.assert_array_equal(np.asarray(new["class_counts"]),
+                                  [4, 3, 4, 7])
+    # narrowing keeps the overlap too
+    nar = rebuild_head_bank(trained, jax.random.PRNGKey(2), n_tasks=3,
+                            class_counts=np.asarray([2, 2, 2]))
+    np.testing.assert_array_equal(np.asarray(nar["kernel"])[:3, :, :2],
+                                  trained["kernel"][:, :, :2])
