@@ -39,6 +39,7 @@ from clsurvey_tpu.models.registry import ModelSpec
 from clsurvey_tpu.ops import preprocess as pp
 from clsurvey_tpu.parallel import mesh as mesh_lib
 from clsurvey_tpu.utils import io
+from clsurvey_tpu.utils import rowgather
 from clsurvey_tpu.utils.paths import (
     BEST_MODEL_FILENAME, EPOCH_CKPT_FILENAME)
 
@@ -347,7 +348,7 @@ class Engine:
         # k+1 while the device trains chunk k
         def put(c):
             rows = perm[c * chunk_rows: (c + 1) * chunk_rows]
-            imgs = np.ascontiguousarray(images_np[rows])
+            imgs = rowgather.gather_rows(images_np, rows)
             labs = np.ascontiguousarray(labels_np[rows])
             if rep is not None:
                 return jax.device_put((imgs, labs), rep)
