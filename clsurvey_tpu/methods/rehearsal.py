@@ -193,13 +193,18 @@ class GEMRule(UpdateRule):
         return grads
 
     def _memory_grads_all(self, ctx, trainable, batch_stats, mstate, rng):
-        """All past tasks' memory gradients in ONE vmapped computation.
+        """All past tasks' memory gradients, replayed SEQUENTIALLY over the
+        task axis (lax.map) like the reference (gem.py:233-256).
 
-        The reference replays each past task's buffer sequentially
-        (gem.py:233-256); vmapping over the task axis turns t-1 sequential
-        backward passes per step into a single batched launch. Each row is
-        the chunk-size-invariant FULL-BUFFER MEAN gradient (same deliberate
-        deviation as _memory_grads — see its docstring + DEVIATIONS.md)."""
+        An earlier vmap-over-tasks variant batched all t-1 backward passes
+        into one launch, but its activation footprint grows linearly with
+        the task count — [t, mem_batch, 64, 64, 64] f32 conv temps hit
+        19 GB at task 6 of the 10-task protocol (>15.75 GB v5e HBM) and
+        can never reach task 10. Sequential replay keeps the footprint at
+        one task's chunk while mem_batch rows still saturate the MXU per
+        launch. Each row is the chunk-size-invariant FULL-BUFFER MEAN
+        gradient (same deliberate deviation as _memory_grads — see its
+        docstring + DEVIATIONS.md)."""
         t = ctx.task
         mem = mstate["memory"]
         imgs = mem["mem_images"][:t]     # (t, M, H, W, C)
@@ -247,7 +252,8 @@ class GEMRule(UpdateRule):
             grads, _ = jax.lax.scan(body, acc0, jnp.arange(nb))
             return ravel_pytree(grads)[0]
 
-        return jax.vmap(one_task)(imgs, lbls, counts, tasks)  # (t, p)
+        return jax.lax.map(lambda a: one_task(*a),
+                           (imgs, lbls, counts, tasks))  # (t, p)
 
     def compute_grads(self, ctx, trainable, batch_stats, batch, mstate,
                       rng, base_fn):
