@@ -21,6 +21,49 @@ def _class_image(rng: np.random.Generator, proto: np.ndarray,
     return np.clip(imgs, 0, 255).astype(np.uint8)
 
 
+_BASIS_K = 24
+
+
+def _shared_basis(h: int, w: int) -> np.ndarray:
+    """Global (task-independent) bank of oriented plane waves. In ``hard``
+    mode every task's class signal is a combination of THESE patterns, so
+    early conv features genuinely transfer across tasks — the structure
+    importance-based CL methods exploit on natural images (and which the
+    easy solid-color prototypes lack entirely)."""
+    rng = np.random.default_rng(987654321)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    basis = []
+    for _ in range(_BASIS_K):
+        f = rng.uniform(2.0, 6.0, 2)
+        phase = rng.uniform(0, 2 * np.pi)
+        pat = np.sin(2 * np.pi * (f[0] * xx / w + f[1] * yy / h) + phase)
+        basis.append(pat)
+    return np.stack(basis)  # (K, h, w)
+
+
+def _hard_images(rng: np.random.Generator, basis: np.ndarray,
+                 class_w: np.ndarray, n: int, amp: float, rho: float,
+                 noise: float) -> np.ndarray:
+    """n images of one class in hard mode. Class signal = ``class_w``
+    (unit-ish gaussian coefficient vector) on the shared basis at
+    amplitude ``amp``; nuisance = per-image gaussian coefficients IN THE
+    SAME SUBSPACE at ``rho * amp`` (so it cannot be averaged away — the
+    Bayes error is set by rho, not the pixel count), plus a per-image
+    global color offset (kills any mean-color shortcut) and white noise."""
+    k, h, w = basis.shape
+    coeff = class_w[None] + rho * rng.normal(0, 1, (n, k))
+    # normalize per image: the class information is the DIRECTION of the
+    # coefficient vector (angular separation sets the Bayes error), and a
+    # fixed field energy keeps amp*field inside the u8 range un-clipped
+    coeff = coeff / np.linalg.norm(coeff, axis=1, keepdims=True) \
+        * np.sqrt(2.0)
+    fields = np.tensordot(coeff, basis, axes=(1, 0))   # (n, h, w)
+    color = rng.uniform(-30, 30, (n, 1, 1, 3))
+    imgs = (128.0 + color + amp * fields[..., None]
+            + rng.normal(0, noise * 255.0, (n, h, w, 3)))
+    return np.clip(imgs, 0, 255).astype(np.uint8)
+
+
 class SyntheticSequence(TaskSequence):
     """``synthetic[_<tasks>t_<classes>c_<size>px]``, e.g. synthetic_3t_5c_32px.
 
@@ -38,6 +81,7 @@ class SyntheticSequence(TaskSequence):
                  n_train: int = 64, n_val: int = 32, n_test: int = 32,
                  noise: float = 0.08, seed: int = 7, **_):
         counts_list = None
+        hard_rho = None
         # parse inline options from the name
         for seg in ds_name.split("_")[1:]:
             if seg.endswith("t"):
@@ -50,6 +94,20 @@ class SyntheticSequence(TaskSequence):
                     classes_per_task_n = int(body)
             elif seg.endswith("px"):
                 input_px = int(seg[:-2])
+            elif seg.startswith("nz"):
+                # difficulty knob: per-pixel noise as a % of full scale
+                # (default 8). Trivially-separable data degenerates the
+                # path-integral importance methods (omega = w/(dtheta^2+xi)
+                # explodes when loss -> 0 in a few steps); nz30+ gives a
+                # Tiny-ImageNet-like convergence profile.
+                noise = int(seg[2:]) / 100.0
+            elif seg.startswith("hd"):
+                # hard mode: shared-basis class signal with in-subspace
+                # nuisance at ratio hd<rho*100> (e.g. hd500 -> rho=5.0).
+                # Accuracy is Bayes-limited by rho and tasks share conv
+                # features — the regime where the survey's method ordering
+                # (replay > mask > importance > finetune) is meaningful.
+                hard_rho = int(seg[2:]) / 100.0
             elif seg.endswith("n"):
                 n_train = int(seg[:-1])
                 n_val = n_test = max(n_train // 4, 8)
@@ -67,6 +125,7 @@ class SyntheticSequence(TaskSequence):
                 str(t): classes_per_task_n for t in range(1, task_count + 1)}
         self._n = (n_train, n_val, n_test)
         self._noise = noise
+        self._hard_rho = hard_rho
         self._seed = seed
         self._cache: dict[int, TaskData] = {}
 
@@ -77,6 +136,22 @@ class SyntheticSequence(TaskSequence):
         h, w = self.input_size
         ncls = self.classes_per_task[str(task)]
         rng = np.random.default_rng(self._seed * 1000 + task)
+        if self._hard_rho is not None:
+            basis = _shared_basis(h, w)
+            class_ws = rng.normal(0, 1, (ncls, _BASIS_K))
+            splits = []
+            for n_per in self._n:
+                images = np.concatenate(
+                    [_hard_images(rng, basis, class_ws[c], n_per,
+                                  amp=45.0, rho=self._hard_rho,
+                                  noise=self._noise)
+                     for c in range(ncls)], axis=0)
+                labels = np.repeat(np.arange(ncls, dtype=np.int32), n_per)
+                perm = rng.permutation(len(labels))
+                splits.append(SplitData(images[perm], labels[perm]))
+            td = TaskData(*splits, classes=[f"c{c}" for c in range(ncls)])
+            self._cache[task] = td
+            return td
         # distinct smooth prototype per (task, class): random low-frequency
         # gradient field, so a small conv net separates classes quickly
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
