@@ -189,10 +189,13 @@ def main(argv=None):
     ap.add_argument("--methods", default=None,
                     help="comma-separated subset")
     ap.add_argument("--postprocess_only", action="store_true")
+    ap.add_argument("--ds_suffix", default="",
+                    help="extra synthetic name segments, e.g. _hd200")
     a = ap.parse_args(argv)
     ds_name = f"synthetic_{a.tasks}t_{a.classes}c_{a.px}px"
     if a.n:
         ds_name += f"_{a.n}n"
+    ds_name += a.ds_suffix
     os.makedirs(os.path.dirname(a.out) or ".", exist_ok=True)
     if not a.postprocess_only:
         only = set(a.methods.split(",")) if a.methods else None
