@@ -141,7 +141,7 @@ def _bench_gem(spec, images, labels, base_ctx):
 
     sd = init_model_state(spec, jax.random.PRNGKey(3), max_tasks=10,
                           classes_per_task=20)
-    rule = GEMRule(n_memories=1024, mem_batch=256)
+    rule = GEMRule(n_memories=1024, mem_batch=128)
     ctx = make_context(
         spec, task=4, n_tasks=5, class_counts=[20] * 10,
         mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),

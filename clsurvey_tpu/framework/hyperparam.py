@@ -195,8 +195,26 @@ def framework_single_task(args, manager):
         print(f"\nPHASE 2 (TASK {manager.task_counter}) — FT LR {ft_lr}")
         hf.stabilityDecay(args, manager, ft_lr, ft_acc)
 
+    post_start = time.time()
     if hasattr(method, "poststep"):
         method.poststep(args, manager)
+    manager.extras["postprocess_elapsed_time"] = time.time() - post_start
+
+    # per-task phase timing report + pickle, ref:src/framework/
+    # framework_train.py:237-240,286-292 (printed via utils.print_timing)
+    phase_times = {
+        k: manager.extras.get(f"{k}_elapsed_time")
+        for k in ("phase1", "presteps", "convergence_iteration",
+                  "postprocess")
+        if manager.extras.get(f"{k}_elapsed_time") is not None
+    }
+    for name, secs in phase_times.items():
+        print(f"{name} elapsed_time = {secs:.2f}s")
+    if phase_times and not skip_to_post:
+        io.save(phase_times, os.path.join(manager.task_dir(),
+                                          "phase_timing.pth.tar"))
+    for k in phase_times:  # don't leak into the next task's report
+        manager.extras.pop(f"{k}_elapsed_time", None)
 
     if hasattr(method, "init_next_task"):
         method.init_next_task(manager)

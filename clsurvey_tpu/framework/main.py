@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 import traceback
 
 import jax
@@ -192,8 +193,17 @@ def main(args: RunArgs):
         try:
             with timer.phase(f"task_{task_counter}"):
                 if method.no_framework:
+                    # Phase-1-only methods still report a phase timing
+                    # entry (ref prints phase1 time for every task,
+                    # ref:src/framework/framework_train.py:237-240)
+                    p1_start = time.time()
                     lr_grid.lr_grid_single_task(args, manager,
                                                 save_models_mode="all")
+                    p1_secs = time.time() - p1_start
+                    print(f"phase1 elapsed_time = {p1_secs:.2f}s")
+                    io.save({"phase1": p1_secs},
+                            os.path.join(manager.task_dir(),
+                                         "phase_timing.pth.tar"))
                 else:
                     hyperparam.framework_single_task(args, manager)
             ds_paths.append(task_counter)

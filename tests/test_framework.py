@@ -37,6 +37,10 @@ def test_finetune_full_pipeline(fresh_config, ft_args):
         assert os.path.isdir(task_dir), task_dir
     # task-2 model reachable via symlinked TASK_TRAINING
     assert io.exists(manager.previous_task_model_path)
+    # Phase-1-only methods still report phase1 wall-clock per task
+    times = io.load(os.path.join(manager.task_dir(2),
+                                 "phase_timing.pth.tar"))
+    assert times["phase1"] > 0
 
     # eval artifacts written with the reference dict shape
     from clsurvey_tpu.utils import paths as paths_lib

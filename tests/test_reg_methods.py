@@ -220,6 +220,14 @@ def test_si_dump_then_ewc_sequence(fresh_config):
         manager.exp_name, create=False)
     assert os.path.isfile(os.path.join(
         out_dir, "test_method_performancesEWC0.pth"))
+    # per-task phase timers saved for the framework path (ref prints
+    # phase1/presteps/convergence/postprocess per task,
+    # ref:src/framework/framework_train.py:286-292)
+    times = io.load(os.path.join(manager.task_dir(2),
+                                 "phase_timing.pth.tar"))
+    assert {"phase1", "presteps", "convergence_iteration",
+            "postprocess"} <= set(times)
+    assert all(v >= 0 for v in times.values())
 
 
 def test_si_consolidate_stays_finite():
