@@ -177,6 +177,18 @@ class HyperparameterFramework:
                 self.hyperparam_idx += 1
 
 
+PHASE_TIMING_FILENAME = "phase_timing.pth.tar"
+
+
+def report_phase_timing(phase_times: dict, task_dir: str | None):
+    """Print + pickle per-task phase wall-clock (ref:src/framework/
+    framework_train.py:286-292). ``task_dir=None`` prints only."""
+    for name, secs in phase_times.items():
+        print(f"{name} elapsed_time = {secs:.2f}s")
+    if phase_times and task_dir is not None:
+        io.save(phase_times, os.path.join(task_dir, PHASE_TIMING_FILENAME))
+
+
 def framework_single_task(args, manager):
     """Per-task dispatch (ref:src/framework/framework_train.py:219-292)."""
     method = manager.method
@@ -203,18 +215,13 @@ def framework_single_task(args, manager):
     # per-task phase timing report + pickle, ref:src/framework/
     # framework_train.py:237-240,286-292 (printed via utils.print_timing)
     phase_times = {
-        k: manager.extras.get(f"{k}_elapsed_time")
+        k: manager.extras.pop(f"{k}_elapsed_time")
         for k in ("phase1", "presteps", "convergence_iteration",
                   "postprocess")
         if manager.extras.get(f"{k}_elapsed_time") is not None
     }
-    for name, secs in phase_times.items():
-        print(f"{name} elapsed_time = {secs:.2f}s")
-    if phase_times and not skip_to_post:
-        io.save(phase_times, os.path.join(manager.task_dir(),
-                                          "phase_timing.pth.tar"))
-    for k in phase_times:  # don't leak into the next task's report
-        manager.extras.pop(f"{k}_elapsed_time", None)
+    report_phase_timing(phase_times,
+                        None if skip_to_post else manager.task_dir())
 
     if hasattr(method, "init_next_task"):
         method.init_next_task(manager)

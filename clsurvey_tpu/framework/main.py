@@ -199,11 +199,9 @@ def main(args: RunArgs):
                     p1_start = time.time()
                     lr_grid.lr_grid_single_task(args, manager,
                                                 save_models_mode="all")
-                    p1_secs = time.time() - p1_start
-                    print(f"phase1 elapsed_time = {p1_secs:.2f}s")
-                    io.save({"phase1": p1_secs},
-                            os.path.join(manager.task_dir(),
-                                         "phase_timing.pth.tar"))
+                    hyperparam.report_phase_timing(
+                        {"phase1": time.time() - p1_start},
+                        manager.task_dir())
                 else:
                     hyperparam.framework_single_task(args, manager)
             ds_paths.append(task_counter)

@@ -510,6 +510,7 @@ def hat_train_task(engine: HATEngine, exp_dir: str, trainable, task_data,
             log(f"HAT resumed epoch {start_epoch} lr={cur_lr:g}")
     root = jax.random.PRNGKey(seed)
     best_loss = float("inf")
+    contained_lr_cap = lr  # lowered whenever divergence containment fires
     for e in range(start_epoch, nepochs):
         cur_lamb = 0.0 if in_warmup else lamb
         ekey = jax.random.fold_in(root, e)
@@ -523,8 +524,9 @@ def hat_train_task(engine: HATEngine, exp_dir: str, trainable, task_data,
         train_loss = float(metrics["loss"])
         log(f"HAT epoch {e}: loss={train_loss:.4f} "
             f"val={val_acc:.4f} lr={cur_lr:g} lamb={cur_lamb}")
-        if not np.isfinite(train_loss) or train_loss > \
-                2.0 * best_loss + 2.0:
+        diverged = (not np.isfinite(train_loss)
+                    or train_loss > 2.0 * best_loss + 2.0)
+        if diverged:
             # Divergence containment: the Phase-1 lr is selected with
             # all-ones gates (hat_finetune) and can be unstable for the
             # gated net; a diverged state would poison this and every
@@ -539,34 +541,37 @@ def hat_train_task(engine: HATEngine, exp_dir: str, trainable, task_data,
             if cur_lr < 1e-5:
                 log("diverged below lr floor — stopping")
                 break
+            contained_lr_cap = cur_lr
             restore = best_model if best_model is not None else task_start
             state = (jax.tree_util.tree_map(jnp.asarray, restore),
                      jax.tree_util.tree_map(
                          lambda x: jnp.zeros_like(jnp.asarray(x)), restore))
             patience = lr_patience
             log(f"diverged — restored best weights, lr={cur_lr:g}")
-            continue
-        best_loss = min(best_loss, train_loss)
-        if val_acc > best_acc:
-            best_acc = val_acc
-            best_model = io.to_host(state[0])
-            patience = lr_patience
-            if save_models:
-                io.save(best_model, os.path.join(exp_dir,
-                                                 BEST_MODEL_FILENAME))
-        elif not in_warmup:
-            patience -= 1
-            if patience == lr_patience // 2:
-                cur_lr /= lr_factor
-            elif patience <= 0:
-                if e < min_epochs:
-                    pass  # min-epoch guard for the first task
-                else:
-                    break
+        else:
+            best_loss = min(best_loss, train_loss)
+            if val_acc > best_acc:
+                best_acc = val_acc
+                best_model = io.to_host(state[0])
+                patience = lr_patience
+                if save_models:
+                    io.save(best_model, os.path.join(exp_dir,
+                                                     BEST_MODEL_FILENAME))
+            elif not in_warmup:
+                patience -= 1
+                if patience == lr_patience // 2:
+                    cur_lr /= lr_factor
+                elif patience <= 0:
+                    if e < min_epochs:
+                        pass  # min-epoch guard for the first task
+                    else:
+                        break
         if in_warmup and e >= warmup_epochs:
+            # a contained divergence must not be undone by the
+            # warmup-exit lr reset: cap at the containment-cut lr
             in_warmup = False
             patience = lr_patience
-            cur_lr = lr
+            cur_lr = min(lr, contained_lr_cap)
         if save_models and (e % 5 == 0 or e == nepochs - 1):
             io.save({"epoch": e, "lr": cur_lr, "patience": patience,
                      "best_acc": best_acc, "warmup": in_warmup,

@@ -67,8 +67,11 @@ def gather_rows(src: np.ndarray, idx: np.ndarray,
     array; otherwise (or when the library is unavailable) falls back to
     `np.ascontiguousarray(src[idx])`."""
     lib = _load()
-    if (lib is None or src.dtype != np.uint8
+    idx = np.asarray(idx)
+    if (lib is None or src.dtype != np.uint8 or idx.ndim != 1
             or not src.flags["C_CONTIGUOUS"] or src.ndim < 1):
+        # numpy fancy indexing covers every layout/shape the fast path
+        # doesn't (non-uint8, non-contiguous, multi-dim idx)
         return np.ascontiguousarray(src[idx])
     idx = np.ascontiguousarray(idx, dtype=np.int64)
     n_idx = int(idx.shape[0])

@@ -138,6 +138,12 @@ def postprocess(ds_name: str, out_base: str):
         post.collect_hyperparams(e, method_name, hyperparams_counts=counts)
     post.pad_hyperparams(entries, counts)
     os.makedirs(os.path.dirname(out_base) or ".", exist_ok=True)
+    # render onto the canonical names: the library never overwrites a
+    # figure (reference parity, _versioned), but the docs link the
+    # unsuffixed files — refresh those instead of accreting _vN copies
+    for fig in (out_base + "_acc.png", out_base + "_forgetting.png"):
+        if os.path.exists(fig):
+            os.unlink(fig)
     summary = post.analyze_experiments(
         entries, plot_seq_acc=True, plot_seq_forgetting=True,
         save_img_path=out_base, all_diff_color_force=False)

@@ -339,3 +339,50 @@ def test_pathnet_module_sum_is_post_activation():
                                np.asarray(expected_l0), rtol=1e-5,
                                atol=1e-5)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_hat_containment_preserves_warmup_exit_and_ckpt(tmp_path):
+    """A contained (diverged) epoch must still run the warmup-exit block
+    and the periodic checkpoint, and the warmup-exit lr reset must not
+    undo the containment cut (regression for the early `continue`)."""
+    import types
+
+    from clsurvey_tpu.methods.hat import hat_train_task
+    from clsurvey_tpu.utils import io
+    from clsurvey_tpu.utils.paths import EPOCH_CKPT_FILENAME
+
+    losses = [1.0, 0.9, float("nan"), 0.8, 0.8, 0.8]
+    vals = [0.5, 0.6, 0.0, 0.55, 0.55, 0.55]
+    calls = {"e": 0}
+
+    class StubEngine:
+        smax = 400.0
+
+        def _train_epoch(self, state, images, labels, perm, key, lr,
+                         lamb, bsz):
+            e = calls["e"]
+            return state, {"loss": jnp.float32(losses[e])}
+
+        def evaluate(self, params, images, labels, bsz):
+            v = vals[calls["e"]]
+            calls["e"] += 1
+            return v
+
+    data = np.zeros((8, 4, 4, 3), np.uint8)
+    labels = np.zeros(8, np.int32)
+    td = types.SimpleNamespace(
+        train=types.SimpleNamespace(images=data, labels=labels),
+        val=types.SimpleNamespace(images=data, labels=labels))
+    trainable = {"w": jnp.ones(3)}
+
+    hat_train_task(StubEngine(), str(tmp_path), trainable, td,
+                   nepochs=6, batch_size=4, lr=1.0, lamb=0.1,
+                   warmup=True, warmup_lr=0.01, warmup_epochs=2,
+                   save_models=True)
+
+    ck = io.load(str(tmp_path / EPOCH_CKPT_FILENAME))
+    assert ck["epoch"] == 5
+    # warmup exited ON the contained epoch (e=2), not a step later
+    assert ck["warmup"] is False
+    # the containment lr cut (0.01/3) survived the warmup-exit reset
+    assert ck["lr"] == pytest.approx(0.01 / 3.0)

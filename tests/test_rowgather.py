@@ -47,3 +47,14 @@ def test_fallback_non_uint8_and_empty():
     out = rowgather.gather_rows(np.zeros((4, 3), np.uint8),
                                 np.zeros(0, np.int64))
     assert out.shape == (0, 3)
+
+
+def test_multidim_idx_matches_fancy_indexing():
+    """2-D idx must follow numpy semantics on BOTH paths (the native
+    path declines it), not silently flatten."""
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 256, (16, 5), dtype=np.uint8)
+    idx = rng.integers(0, 16, (4, 6))
+    out = rowgather.gather_rows(src, idx)
+    assert out.shape == (4, 6, 5)
+    np.testing.assert_array_equal(out, src[idx])
