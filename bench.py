@@ -111,7 +111,24 @@ def main():
     steps = n_train // batch_size
     imgs_per_sec = steps * batch_size / min(per_epoch)
 
+    # capability point beyond the protocol's bs=200: larger batches pad
+    # the 128-lane tiles better (200 -> 256 wastes 22%; 512 none)
+    per_epoch_512 = []
+    state, m = engine.train_epoch(state, images, labels, perm, key, 5e-3,
+                                  512)
+    _ = float(m["loss"])  # compile bs=512 variant
+    for e in range(4):
+        ekey = jax.random.fold_in(key, 100 + e)
+        perm = jax.random.permutation(ekey, n_train)
+        start = time.perf_counter()
+        state, m = engine.train_epoch(state, images, labels, perm, ekey,
+                                      5e-3, 512)
+        _ = float(m["loss"])
+        per_epoch_512.append(time.perf_counter() - start)
+    imgs_512 = (n_train // 512) * 512 / min(per_epoch_512)
+
     extras = {
+        "bs512_imgs_per_sec": round(imgs_512, 1),
         "gem_step_imgs_per_sec": _bench_gem(spec, images, labels, ctx),
         "ewc_fisher_imgs_per_sec": _bench_fisher(spec, state_dict, ctx,
                                                  images, labels),
