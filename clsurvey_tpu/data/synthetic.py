@@ -9,6 +9,8 @@ structure (each class is a distinct smooth color/gradient pattern + noise)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from clsurvey_tpu.data.registry import (
@@ -133,6 +135,38 @@ class SyntheticSequence(TaskSequence):
         if task in self._cache:
             return self._cache[task]
         assert 1 <= task <= self.task_count, task
+        disk = self._disk_cache_path(task)
+        if disk is not None and os.path.exists(disk):
+            z = np.load(disk)
+            td = TaskData(
+                SplitData(z["tr_x"], z["tr_y"]),
+                SplitData(z["va_x"], z["va_y"]),
+                SplitData(z["te_x"], z["te_y"]),
+                classes=[str(c) for c in z["classes"]])
+            self._cache[task] = td
+            return td
+        td = self._generate(task)
+        if disk is not None:
+            tmp = disk + ".tmp.npz"
+            np.savez(tmp, tr_x=td.train.images, tr_y=td.train.labels,
+                     va_x=td.val.images, va_y=td.val.labels,
+                     te_x=td.test.images, te_y=td.test.labels,
+                     classes=np.asarray(td.classes))
+            os.replace(tmp, disk)  # atomic: concurrent runs see all/none
+        self._cache[task] = td
+        return td
+
+    def _disk_cache_path(self, task: int) -> str | None:
+        """Opt-in npz cache (CLSURVEY_SYNTH_CACHE=<dir>): generation of a
+        protocol-scale 224px task costs minutes of single-core numpy; the
+        data is a pure function of (name, seed, task)."""
+        root = os.environ.get("CLSURVEY_SYNTH_CACHE", "")
+        if not root:
+            return None
+        os.makedirs(root, exist_ok=True)
+        return os.path.join(root, f"{self.name}_s{self._seed}_t{task}.npz")
+
+    def _generate(self, task: int) -> TaskData:
         h, w = self.input_size
         ncls = self.classes_per_task[str(task)]
         rng = np.random.default_rng(self._seed * 1000 + task)
@@ -149,9 +183,8 @@ class SyntheticSequence(TaskSequence):
                 labels = np.repeat(np.arange(ncls, dtype=np.int32), n_per)
                 perm = rng.permutation(len(labels))
                 splits.append(SplitData(images[perm], labels[perm]))
-            td = TaskData(*splits, classes=[f"c{c}" for c in range(ncls)])
-            self._cache[task] = td
-            return td
+            return TaskData(*splits,
+                            classes=[f"c{c}" for c in range(ncls)])
         # distinct smooth prototype per (task, class): random low-frequency
         # gradient field, so a small conv net separates classes quickly
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
@@ -174,9 +207,7 @@ class SyntheticSequence(TaskSequence):
             labels = np.repeat(np.arange(ncls, dtype=np.int32), n_per)
             perm = rng.permutation(len(labels))
             splits.append(SplitData(images[perm], labels[perm]))
-        td = TaskData(*splits, classes=[f"c{c}" for c in range(ncls)])
-        self._cache[task] = td
-        return td
+        return TaskData(*splits, classes=[f"c{c}" for c in range(ncls)])
 
 
 register_dataset("synthetic", SyntheticSequence)

@@ -56,3 +56,22 @@ def test_hard_mode_signal_in_shared_basis():
     recon = flat_basis.T @ coef
     resid = np.linalg.norm(cls_mean.ravel() - recon)
     assert resid < 0.35 * np.linalg.norm(cls_mean.ravel())
+
+
+def test_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """CLSURVEY_SYNTH_CACHE: a fresh instance loads byte-identical data
+    from the npz cache, and the uncached path generates the same."""
+    import numpy as np
+
+    from clsurvey_tpu.data import registry as d
+
+    monkeypatch.setenv("CLSURVEY_SYNTH_CACHE", str(tmp_path))
+    td1 = d.parse("synthetic_2t_3c_16px_hd200").get_task_dataset(1)
+    assert any(p.name.endswith(".npz") for p in tmp_path.iterdir())
+    td2 = d.parse("synthetic_2t_3c_16px_hd200").get_task_dataset(1)
+    np.testing.assert_array_equal(td1.train.images, td2.train.images)
+    np.testing.assert_array_equal(td1.val.labels, td2.val.labels)
+    assert td1.classes == td2.classes
+    monkeypatch.delenv("CLSURVEY_SYNTH_CACHE")
+    td3 = d.parse("synthetic_2t_3c_16px_hd200").get_task_dataset(1)
+    np.testing.assert_array_equal(td1.train.images, td3.train.images)
