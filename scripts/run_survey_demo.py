@@ -116,7 +116,7 @@ def run_all(ds_name: str, epochs: int, batch_size: int, out_base: str,
     return statuses
 
 
-def postprocess(ds_name: str, out_base: str):
+def postprocess(ds_name: str, out_base: str, epochs: int | None = None):
     """Collect every method's eval artifacts, render the stacked plot and
     print the summary + hyperparam tables."""
     from clsurvey_tpu.utilities import postprocessing as post
@@ -150,14 +150,19 @@ def postprocess(ds_name: str, out_base: str):
     hp_table = post.print_hyperparam_table(entries)
     with open(out_base + "_summary.txt", "w") as f:
         f.write(summary + "\n\n" + hp_table + "\n")
-    _write_markdown(entries, out_base)
+    _write_markdown(entries, out_base, ds_name, epochs)
     return entries, summary
 
 
-def _write_markdown(entries, out_base: str):
+def _write_markdown(entries, out_base: str, ds_name: str = "",
+                    epochs: int | None = None):
     """Render the summary as a Markdown results table next to the figs."""
+    budget = f", {epochs} epochs/task" if epochs else ""
+    title = (f"# Survey sweep — `{ds_name}`{budget}, full two-phase "
+             "framework + eval matrix" if ds_name else
+             "# Survey demo — all methods through the full pipeline")
     lines = [
-        "# Survey demo — all methods through the full pipeline", "",
+        title, "",
         "| method | exp | avg acc (final model) | avg forgetting |",
         "|---|---|---|---|",
     ]
@@ -229,7 +234,7 @@ def main(argv=None):
             statuses = merged
         with open(status_path, "w") as f:
             json.dump(statuses, f, indent=1)
-    postprocess(ds_name, a.out)
+    postprocess(ds_name, a.out, epochs=a.epochs)
 
 
 if __name__ == "__main__":
