@@ -27,7 +27,7 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-MODEL = "small_VGG9_cl_128_128"
+MODEL = "small_VGG9_cl_128_128"  # overridable via --model
 GRID = "survey_demo"
 
 # (method_name, decayed hyperparams DSL, static hyperparams DSL)
@@ -199,10 +199,16 @@ def main(argv=None):
     ap.add_argument("--out", default="docs/survey_demo")
     ap.add_argument("--methods", default=None,
                     help="comma-separated subset")
+    ap.add_argument("--model", default=None,
+                    help="model name (default small_VGG9_cl_128_128; "
+                         "tiny_CNN_cl_32_32 for CPU drives)")
     ap.add_argument("--postprocess_only", action="store_true")
     ap.add_argument("--ds_suffix", default="",
                     help="extra synthetic name segments, e.g. _hd200")
     a = ap.parse_args(argv)
+    if a.model:
+        global MODEL
+        MODEL = a.model
     ds_name = f"synthetic_{a.tasks}t_{a.classes}c_{a.px}px"
     if a.n:
         ds_name += f"_{a.n}n"
