@@ -135,3 +135,50 @@ def test_chunked_epoch_equals_resident_epoch():
                                    rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(res_metrics["loss"]),
                                float(chunk_metrics["loss"]), rtol=1e-5)
+
+
+def test_chunked_eval_equals_resident_eval():
+    """evaluate_chunked must reproduce resident evaluate exactly: same
+    accuracy and identical per-class counters (summed across chunks,
+    incl. a ragged final chunk)."""
+    import flax.linen as nn
+
+    rng = np.random.default_rng(5)
+    images = rng.integers(0, 255, (90, 8, 8, 3), np.uint8)
+    labels = rng.integers(0, 4, (90,), np.int32).astype(np.int32)
+
+    class TinySpec:
+        arch = "dense_probe"
+        uses_dropout = False
+        has_batch_stats = False
+        compute_dtype = jnp.float32
+
+        def make_backbone(self):
+            class M(nn.Module):
+                @nn.compact
+                def __call__(self, x, train=False, **kw):
+                    return nn.Dense(8)(x.reshape((x.shape[0], -1)))
+            return M()
+
+    counts = np.array([4], np.int32)
+    key = jax.random.PRNGKey(1)
+    bank = heads_lib.init_head_bank(key, 1, 8, 4, counts)
+    spec = TinySpec()
+    params0 = spec.make_backbone().init(key, jnp.zeros((1, 8, 8, 3)))[
+        "params"]
+    tr = {"params": params0,
+          "heads": {"kernel": jnp.array(bank["kernel"]),
+                    "bias": jnp.array(bank["bias"])}}
+    ctx = make_context(spec=spec, task=0, n_tasks=1,
+                       class_counts=counts, mean=(0.0, 0.0, 0.0),
+                       std=(1.0, 1.0, 1.0),
+                       update_rule=UpdateRule(), augment=False)
+    engine = Engine(ctx)
+
+    acc_r, pcc_r, pct_r = engine.evaluate(
+        tr, {}, jnp.asarray(images), jnp.asarray(labels), 32)
+    acc_c, pcc_c, pct_c = engine.evaluate_chunked(
+        tr, {}, images, labels, 32, chunk_rows=40)  # ragged last chunk
+    assert acc_c == pytest.approx(acc_r)
+    np.testing.assert_array_equal(np.asarray(pcc_r), pcc_c)
+    np.testing.assert_array_equal(np.asarray(pct_r), pct_c)
