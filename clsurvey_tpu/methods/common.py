@@ -14,8 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from clsurvey_tpu.engine.train import (
-    Engine, TrainJob, TrainState, make_context, state_from_model,
-    train_task, tree_zeros_like)
+    Engine, TrainJob, TrainState, make_context, train_task,
+    tree_zeros_like)
 from clsurvey_tpu.methods.base import UpdateRule
 from clsurvey_tpu.models import heads as heads_lib
 from clsurvey_tpu.utils import io
@@ -41,8 +41,6 @@ def prepare_trainable(model: dict, task: int, head_key=None,
                   "bias": copy(model["heads"]["bias"])},
     }
     if reinit_head:
-        from clsurvey_tpu.models import heads as heads_lib
-
         key = head_key if head_key is not None else jax.random.PRNGKey(0)
         trainable["heads"] = heads_lib.reinit_head(trainable["heads"],
                                                    task, key)
@@ -158,12 +156,22 @@ def run_training(manager, update_rule: UpdateRule, lr: float,
 def current_task_head_grads(tree, task: int):
     """Zero every head-bank slot's gradient except the current task's
     (the shared 'only the current task's head trains' rule)."""
-    import jax
-    import jax.numpy as jnp
-
     def per_leaf(h):
         keep = (jnp.arange(h.shape[0]) == task).reshape(
             (-1,) + (1,) * (h.ndim - 1))
         return jnp.where(keep, h, 0.0)
 
     return jax.tree_util.tree_map(per_leaf, tree)
+
+def get_task_engine(manager, slot: str):
+    """Single engine slot per method, overwritten across tasks — a
+    per-task cache key would pin every finished task's compiled
+    executables (train epoch + eval jit caches) for the whole run."""
+    if manager.extras.get(slot + "_task") == manager.task_counter:
+        return manager.extras.get(slot)
+    return None
+
+
+def set_task_engine(manager, slot: str, engine) -> None:
+    manager.extras[slot] = engine
+    manager.extras[slot + "_task"] = manager.task_counter

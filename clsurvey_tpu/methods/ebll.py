@@ -346,12 +346,12 @@ class EBLL(Method):
                  "heads": None}
         mstate = rule.init_state(proto, dict(hyperparams), None,
                                  prev_model=prev_model, encoders=encoders)
-        engine = manager.extras.get(("ebll_engine", manager.task_counter))
+        engine = common.get_task_engine(manager, "ebll_engine")
         best_model, best_acc, _, engine = common.run_training(
             manager, rule, lr=manager.extras["lr"],
             hyperparams=dict(hyperparams),
             exp_dir=manager.extras["heuristic_exp_dir"],
             start_model=prev_model, seed=args.seed, mstate=mstate,
             engine=engine)
-        manager.extras[("ebll_engine", manager.task_counter)] = engine
+        common.set_task_engine(manager, "ebll_engine", engine)
         return best_model, best_acc

@@ -14,7 +14,9 @@ clipped, and the embeddings clamped to +-6 after each step
 
 HAT keeps its own training controller, like the reference's ``Appr``
 (patience 10, lr/3 at half patience, stop at 0, warmup at lr 0.01 with
-lambda=0 for 10 epochs on task 0 and a min-epoch guard, ref:hat.py:139-199)
+lambda=0 on task 0 — exited AFTER epoch ``warmup_epochs`` like the
+reference's post-epoch `e >= warmup_epochs` check, i.e. warmup_epochs+1
+epochs — and a min-epoch guard, ref:hat.py:139-199,174-179)
 — it does NOT share the generic engine's x0.1-at-5 schedule.
 
 TPU design: the whole epoch (s-annealing included) is one jitted lax.scan;

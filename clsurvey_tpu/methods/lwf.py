@@ -106,7 +106,7 @@ class LWF(Method):
                  "heads": None}
         mstate = rule.init_state(proto, dict(hyperparams), None,
                                  prev_model=prev_model)
-        engine = manager.extras.get(("lwf_engine", manager.task_counter))
+        engine = common.get_task_engine(manager, "lwf_engine")
         best_model, best_acc, _, engine = common.run_training(
             manager, rule, lr=manager.extras["lr"],
             hyperparams=dict(hyperparams),
@@ -114,5 +114,5 @@ class LWF(Method):
             start_model=prev_model, seed=args.seed, mstate=mstate,
             engine=engine,
             reinit_head=(warmup == 0))  # keep the warmed-up head
-        manager.extras[("lwf_engine", manager.task_counter)] = engine
+        common.set_task_engine(manager, "lwf_engine", engine)
         return best_model, best_acc

@@ -392,7 +392,8 @@ class PathNet(Method):
 
     # ---- evolutionary training (ref:pathnet.py:101-207) -----------------------
     def _evolve(self, args, manager, N, generations, nepochs_per_gen,
-                exp_dir, seed):
+                exp_dir, seed, n_candidates: int | None = None):
+        P = self.P if n_candidates is None else int(n_candidates)
         t = manager.task_counter - 1
         model = self._module(manager, N)
         state = self._load_or_init(manager, model, N)
@@ -420,8 +421,8 @@ class PathNet(Method):
 
         rng = np.random.default_rng(seed)
         N = int(N)
-        paths = np.zeros((self.P, L, N), np.int32)
-        for p in range(self.P):
+        paths = np.zeros((P, L, N), np.int32)
+        for p in range(P):
             for l in range(L):
                 # distinct modules while they fit; with repetition once the
                 # decay operator has grown N past M (the reference indexes
@@ -444,15 +445,15 @@ class PathNet(Method):
             t)
 
         momenta = [jax.tree_util.tree_map(jnp.zeros_like, trainable)
-                   for _ in range(self.P)]
-        lrs = [manager.extras.get("lr", args.lr_grid[0])] * self.P
-        patience = [self.lr_patience] * self.P
-        best_acc_p = [0.0] * self.P
+                   for _ in range(P)]
+        lrs = [manager.extras.get("lr", args.lr_grid[0])] * P
+        patience = [self.lr_patience] * P
+        best_acc_p = [0.0] * P
         best_overall, best_state, winner = 0.0, io.to_host(trainable), 0
         key = jax.random.PRNGKey(seed)
         n_train = int(images.shape[0])
         for g in range(generations):
-            for p in range(self.P):
+            for p in range(P):
                 gates = module_train_mask(trainable["params"], paths[p],
                                           frozen, n_convs)
                 for e in range(nepochs_per_gen):
@@ -492,12 +493,18 @@ class PathNet(Method):
             # restore overall winner, mutate losers (ref:pathnet.py:186-199)
             trainable = jax.tree_util.tree_map(jnp.asarray, best_state)
             prob = 1.0 / (N * L)
-            for p in range(self.P):
+            for p in range(P):
                 if p == winner:
                     continue
                 best_acc_p[p] = 0.0
                 lrs[p] = lrs[winner]
                 patience[p] = self.lr_patience
+                # renew the loser's optimizer state (ref:pathnet.py:132-134
+                # rebuilds the loser's optimizer every generation): stale
+                # momentum from the old path would keep dragging modules
+                # that are no longer on the mutated path
+                momenta[p] = jax.tree_util.tree_map(jnp.zeros_like,
+                                                    trainable)
                 for l in range(L):
                     for k in range(N):
                         paths[p, l, k] = paths[winner, l, k]
@@ -526,7 +533,8 @@ class PathNet(Method):
         seed = manager.extras.get("grid_seed", 0)
         gens = 1  # Phase-1: single fixed path, full epochs
         return self._evolve(args, manager, int(self.hyperparams["N"]),
-                            gens, args.num_epochs, exp_dir, seed)
+                            gens, args.num_epochs, exp_dir, seed,
+                            n_candidates=1)
 
     def train(self, args, manager, hyperparams):
         gens = int(self.static_hyperparams["generations"])

@@ -217,9 +217,7 @@ class _RegMethodBase(Method):
         exp_dir = manager.extras["heuristic_exp_dir"]
         # one engine slot, overwritten per task (a per-task key would pin
         # every finished task's compiled executable for the whole run)
-        engine = (manager.extras.get("reg_engine")
-                  if manager.extras.get("reg_engine_task")
-                  == manager.task_counter else None)
+        engine = common.get_task_engine(manager, "reg_engine")
         prev_model = io.load(manager.previous_task_model_path)
 
         # trainable must be built before mstate (shapes); run_training does
@@ -249,8 +247,7 @@ class _RegMethodBase(Method):
             hyperparams=dict(hyperparams), exp_dir=exp_dir,
             start_model=prev_model, seed=args.seed, mstate=mstate,
             engine=engine, l1_decay=self._l1_decay())
-        manager.extras["reg_engine"] = engine
-        manager.extras["reg_engine_task"] = manager.task_counter
+        common.set_task_engine(manager, "reg_engine", engine)
         return best_model, best_acc
 
 
@@ -275,8 +272,8 @@ class EWC(_RegMethodBase):
             jax.tree_util.tree_map(jnp.asarray,
                                    prev_model.get("batch_stats", {})),
             _bank_from_model(prev_model), prev_task - 1,
-            jnp.asarray(prev_data.train.images),
-            jnp.asarray(prev_data.train.labels), args.batch_size)
+            np.asarray(prev_data.train.images),
+            np.asarray(prev_data.train.labels), args.batch_size)
         aux = prev_model.get("method_aux")
         if aux and "omega" in aux:
             omega = jax.tree_util.tree_map(
@@ -320,7 +317,7 @@ class MAS(_RegMethodBase):
             jax.tree_util.tree_map(jnp.asarray,
                                    prev_model.get("batch_stats", {})),
             _bank_from_model(prev_model), prev_task - 1,
-            jnp.asarray(prev_data.train.images))
+            np.asarray(prev_data.train.images))
         aux = prev_model.get("method_aux")
         if aux and "omega" in aux:
             omega = jax.tree_util.tree_map(

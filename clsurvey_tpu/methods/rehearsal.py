@@ -29,8 +29,9 @@ all happen on device with zero host round-trips.
   per-task exemplar CE. full-mem divides total capacity over seen tasks.
 
 Documented deviations from the reference (behavior-level equivalents):
-- exemplar picks within a class use a deterministic round-robin for the
-  remainder instead of python ``random.randint`` retry loops;
+- the per-batch exemplar quota's remainder rows sample their source task
+  uniformly per batch inside the compiled step (dynamic head selection)
+  instead of python ``random.randint`` retry loops — same expectation;
 - iCaRL's distillation term uses exact KLDivLoss('batchmean') semantics
   (icarl.py:64,582; torch-parity tested) as one pooled mean over a
   mixed-task exemplar sample per step, instead of the reference's
@@ -121,14 +122,29 @@ def fill_buffer_from_data(mem: dict, task: int, images_u8: np.ndarray,
             "mem_count": count}
 
 
-def _exemplar_split(n_append: int, n_parts: int) -> list:
-    """floor split + deterministic round-robin extras (the reference assigns
-    the remainder randomly, ref:baseline_rehearsal_partial_mem.py:195-200)."""
-    base = n_append // n_parts
-    split = [base] * n_parts
-    for i in range(n_append % n_parts):
-        split[i] += 1
-    return split
+def _sample_remainder_rows(rng, mem, t: int, rem: int, per_task_mem):
+    """``rem`` exemplar rows whose source task is drawn uniformly from the
+    ``t`` past tasks (per call, i.e. per batch) and whose slot index is
+    uniform within that task's valid count."""
+    r_task, r_idx = jax.random.split(rng)
+    tt_dyn = jax.random.randint(r_task, (rem,), 0, t)
+    limit = jnp.maximum(mem["mem_count"][:t], 1)
+    if per_task_mem is not None:
+        limit = jnp.minimum(limit, per_task_mem)
+    u = jax.random.uniform(r_idx, (rem,))
+    idx = jnp.floor(u * limit[tt_dyn]).astype(jnp.int32)
+    return (mem["mem_images"][tt_dyn, idx], mem["mem_labels"][tt_dyn, idx],
+            tt_dyn)
+
+
+def _exemplar_split(n_append: int, n_parts: int) -> tuple:
+    """(equal floor share per past task, remainder). The remainder is
+    replayed from per-batch uniformly-sampled tasks (matching the
+    reference's random remainder assignment in expectation,
+    ref:baseline_rehearsal_partial_mem.py:195-200) — a static
+    round-robin split would systematically starve the highest-index
+    past tasks whenever n_append < n_parts."""
+    return n_append // n_parts, n_append % n_parts
 
 
 # ---------------------------------------------------------------------------
@@ -311,23 +327,40 @@ class ReplayRule(UpdateRule):
         import optax
 
         mem = mstate["memory"]
-        split = _exemplar_split(self.n_append, t)
+        base, rem = _exemplar_split(self.n_append, t)
         losses = []
         for tt in range(t):
-            k = split[tt]
-            if k == 0:
+            if base == 0:
                 continue
             rng, r_idx, r_pre, r_d = jax.random.split(rng, 4)
             limit = jnp.maximum(mem["mem_count"][tt], 1)
             if self.per_task_mem is not None:
                 limit = jnp.minimum(limit, self.per_task_mem)
-            idx = jax.random.randint(r_idx, (k,), 0, limit)
+            idx = jax.random.randint(r_idx, (base,), 0, limit)
             x_u8 = mem["mem_images"][tt][idx]
             y = mem["mem_labels"][tt][idx]
             x = ctx.preprocess(r_pre, x_u8)
             feats_m, _ = ctx.forward_feats(trainable["params"],
                                            batch_stats or {}, x, True, r_d)
             logits = heads_lib.forward(ctx.bank(trainable), feats_m, tt)
+            losses.append(jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(logits, y)))
+        if rem > 0:
+            # remainder rows: task sampled uniformly PER BATCH (traced),
+            # head selected dynamically via the stacked bank — every past
+            # task keeps nonzero replay probability even when
+            # n_append < t
+            rng, r_s, r_pre, r_d = jax.random.split(rng, 4)
+            x_u8, y, tt_dyn = _sample_remainder_rows(
+                r_s, mem, t, rem, self.per_task_mem)
+            x = ctx.preprocess(r_pre, x_u8)
+            feats_m, _ = ctx.forward_feats(trainable["params"],
+                                           batch_stats or {}, x, True, r_d)
+            all_logits = heads_lib.forward_all(ctx.bank(trainable),
+                                               feats_m, t)
+            logits = jnp.take_along_axis(
+                all_logits, tt_dyn[:, None, None],
+                axis=1)[:, 0]
             losses.append(jnp.mean(
                 optax.softmax_cross_entropy_with_integer_labels(logits, y)))
         if not losses:
@@ -465,14 +498,14 @@ class GEM(Method):
                  "heads": None}
         mstate = rule.init_state(proto, dict(hyperparams), None,
                                  memory=memory)
-        engine = manager.extras.get(("gem_engine", manager.task_counter))
+        engine = common.get_task_engine(manager, "gem_engine")
         best_model, best_acc, _, engine = common.run_training(
             manager, rule, lr=manager.extras["lr"],
             hyperparams=dict(hyperparams),
             exp_dir=manager.extras["heuristic_exp_dir"],
             start_model=prev_model, seed=args.seed, mstate=mstate,
             engine=engine, reinit_head=False)
-        manager.extras[("gem_engine", manager.task_counter)] = engine
+        common.set_task_engine(manager, "gem_engine", engine)
         return best_model, best_acc
 
     def poststep(self, args, manager):
@@ -530,8 +563,12 @@ class FinetuneRehearsalPartialMem(Method):
 
     def grid_train(self, args, manager, lr):
         rule, n_append = self._make_rule(args, manager)
-        prev_model = io.load(manager.previous_task_model_path) \
-            if manager.previous_task_model_path else None
+        # the framework always seeds previous_task_model_path before the
+        # task loop (framework/main.py get_init_model_path) — fail loudly
+        # rather than crash deep in _load_memory if that ever changes
+        assert manager.previous_task_model_path, \
+            "replay baseline needs a previous/init model path"
+        prev_model = io.load(manager.previous_task_model_path)
         memory = _load_memory(
             prev_model,
             lambda: fresh_task_memory(
@@ -552,12 +589,15 @@ class FinetuneRehearsalPartialMem(Method):
         # the new-data part of the batch shrinks by n_append
         saved_bs = args.batch_size
         args.batch_size = max(saved_bs - n_append, 1)
+        engine = common.get_task_engine(manager, "replay_engine")
         try:
-            best_model, best_acc, _, _ = common.run_training(
+            best_model, best_acc, _, engine = common.run_training(
                 manager, rule, lr=lr, hyperparams={}, exp_dir=exp_dir,
-                start_model=prev_model, seed=seed, mstate=mstate)
+                start_model=prev_model, seed=seed, mstate=mstate,
+                engine=engine)
         finally:
             args.batch_size = saved_bs
+        common.set_task_engine(manager, "replay_engine", engine)
         return best_model, best_acc
 
     def grid_poststep(self, args, manager):
@@ -621,15 +661,19 @@ class ICARL(Method):
                                  exemplars=exemplars)
         saved_bs = args.batch_size
         args.batch_size = max(saved_bs - n_append, 1)
+        # engine reused across Phase-2 decay attempts (same shapes/rule
+        # config; only the hyper scalars in mstate change)
+        engine = common.get_task_engine(manager, "icarl_engine")
         try:
-            best_model, best_acc, _, _ = common.run_training(
+            best_model, best_acc, _, engine = common.run_training(
                 manager, rule, lr=manager.extras["lr"],
                 hyperparams=dict(hyperparams),
                 exp_dir=manager.extras["heuristic_exp_dir"],
                 start_model=prev_model, seed=args.seed, mstate=mstate,
-                reinit_head=False)
+                engine=engine, reinit_head=False)
         finally:
             args.batch_size = saved_bs
+        common.set_task_engine(manager, "icarl_engine", engine)
         return best_model, best_acc
 
     def grid_train(self, args, manager, lr):

@@ -29,6 +29,47 @@ import optax
 from clsurvey_tpu.ops import preprocess as pp
 
 
+def _budget_chunk_rows(images_np, batch_size: int) -> int | None:
+    """Rows per host chunk for splits over the HBM data budget, rounded to
+    whole batches; None = the split fits resident (the fast path). Mirrors
+    engine.train_task's streaming selection so a split that must stream
+    for training also streams through its importance pass instead of
+    OOMing HBM at the next task's preparation."""
+    import numpy as np
+
+    from clsurvey_tpu.engine.train import data_budget_bytes
+
+    budget = data_budget_bytes()
+    nbytes = int(np.asarray(images_np).nbytes)
+    if nbytes <= budget:
+        return None
+    n = len(images_np)
+    row = max(nbytes // max(n, 1), 1)
+    rows = max((budget // 2 // row) // batch_size * batch_size, batch_size)
+    return int(rows)
+
+
+def _accumulate_chunked(estimate_chunk, images_np, labels_np, rows: int):
+    """Global-mean accumulation over host chunks: each chunk's estimator
+    returns a per-chunk mean, rescaled by chunk_n/total and summed —
+    exactly the un-chunked value."""
+    import numpy as np
+
+    images_np = np.asarray(images_np)
+    total = float(len(images_np))
+    omega = None
+    for lo in range(0, len(images_np), rows):
+        hi = min(lo + rows, len(images_np))
+        part = estimate_chunk(images_np[lo:hi],
+                              None if labels_np is None
+                              else np.asarray(labels_np)[lo:hi])
+        scale = (hi - lo) / total
+        part = jax.tree_util.tree_map(lambda p: p * scale, part)
+        omega = part if omega is None else jax.tree_util.tree_map(
+            jnp.add, omega, part)
+    return omega
+
+
 def _batched_indices(n: int, batch_size: int):
     """Truncate to whole batches (matches drop-last=False closely enough for
     importance estimation; the reference iterates all batches — we append a
@@ -74,7 +115,19 @@ def ewc_fisher(ctx, params, batch_stats, heads_bank, task: int,
     """Diagonal Fisher over a dataset; returns a pytree like ``params``.
 
     Exactly mirrors the reference estimator: per batch, grad of the
-    sum-reduced NLL wrt params, squared, accumulated /N."""
+    sum-reduced NLL wrt params, squared, accumulated /N. Host (numpy)
+    inputs over the HBM data budget stream through chunks."""
+    import numpy as np
+    if isinstance(images_u8, np.ndarray):
+        rows = _budget_chunk_rows(images_u8, batch_size)
+        if rows is not None:
+            return _accumulate_chunked(
+                lambda xs, ys: ewc_fisher(
+                    ctx, params, batch_stats, heads_bank, task,
+                    jnp.asarray(xs), jnp.asarray(ys), batch_size),
+                images_u8, labels, rows)
+        images_u8 = jnp.asarray(images_u8)
+        labels = jnp.asarray(labels)
     n = int(images_u8.shape[0])
     idx, w = _batched_indices(n, batch_size)
     zero_rng = jax.random.PRNGKey(0)
@@ -129,9 +182,19 @@ def mas_importance(ctx, params, batch_stats, heads_bank, task: int,
 
     The reference runs batch-size-1 backward passes over the whole previous
     dataset; here chunked vmap computes per-sample grads in parallel (the
-    math is identical: mean of per-sample |g|)."""
+    math is identical: mean of per-sample |g|). Host (numpy) inputs over
+    the HBM data budget stream through chunks."""
     import numpy as np
 
+    if isinstance(images_u8, np.ndarray):
+        rows = _budget_chunk_rows(images_u8, chunk)
+        if rows is not None:
+            return _accumulate_chunked(
+                lambda xs, ys: mas_importance(
+                    ctx, params, batch_stats, heads_bank, task,
+                    jnp.asarray(xs), chunk),
+                images_u8, None, rows)
+        images_u8 = jnp.asarray(images_u8)
     n = int(images_u8.shape[0])
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
@@ -230,9 +293,37 @@ def imm_mode_fisher(ctx, params, batch_stats, heads_bank, task: int,
         (omega, _), _ = jax.lax.scan(body, (omega, rng), idx)
         return omega
 
+    import numpy as np
+
     omega = jax.tree_util.tree_map(
         lambda p: jnp.full_like(p, 1e-8), params)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
     for images_u8 in splits:
-        rng, sub = jax.random.split(rng)
-        omega = run_split(omega, params, jnp.asarray(images_u8), sub)
+        images_np = np.asarray(images_u8)
+        usable = (len(images_np) // batch_size) * batch_size
+        if usable == 0:
+            continue
+        rows = _budget_chunk_rows(images_np[:usable], batch_size)
+        if rows is None:
+            rng, sub = jax.random.split(rng)
+            contrib = run_split(zeros, params,
+                                jnp.asarray(images_np[:usable]), sub)
+        else:
+            # chunked: run_split normalizes by ITS chunk's batch count, so
+            # rescale each chunk by chunk_batches/split_batches (exact
+            # split mean; the rng stream differs from the resident path,
+            # harmless for a sampled-label Fisher)
+            total_b = usable // batch_size
+            contrib = None
+            for lo in range(0, usable, rows):
+                hi = min(lo + rows, usable)
+                rng, sub = jax.random.split(rng)
+                part = run_split(zeros, params,
+                                 jnp.asarray(images_np[lo:hi]), sub)
+                part = jax.tree_util.tree_map(
+                    lambda p: p * ((hi - lo) // batch_size) / total_b,
+                    part)
+                contrib = part if contrib is None else \
+                    jax.tree_util.tree_map(jnp.add, contrib, part)
+        omega = jax.tree_util.tree_map(jnp.add, omega, contrib)
     return omega

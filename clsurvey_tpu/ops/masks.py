@@ -47,17 +47,11 @@ def prune_masks(params, masks, task_id: int, prune_perc):
     """pruning_mask (ref:prune.py:24-73): per layer, among the current
     task's weights, zero the mask of the lowest-|w| ``prune_perc`` fraction
     and zero those weights. Returns (new_params, new_masks)."""
-    def new_weight(w, m):
+    def new_weight_and_mask(w, m):
         if not _maskable(m):
-            return w
-        remove = _remove_mask(w, m)
-        return jnp.where(remove, 0.0, w)
-
-    def new_mask(w, m):
-        if not _maskable(m):
-            return m
-        remove = _remove_mask(w, m)
-        return jnp.where(remove, jnp.uint8(0), m)
+            return w, m
+        remove = _remove_mask(w, m)  # one sort per leaf, shared by both
+        return jnp.where(remove, 0.0, w), jnp.where(remove, jnp.uint8(0), m)
 
     def _remove_mask(w, m):
         owned = m == task_id
@@ -71,8 +65,12 @@ def prune_masks(params, masks, task_id: int, prune_perc):
         cutoff = order[k]
         return owned & (absw <= cutoff) & (n_owned > 0)
 
-    new_params = jax.tree_util.tree_map(new_weight, params, masks)
-    new_masks = jax.tree_util.tree_map(new_mask, params, masks)
+    _is_pair = lambda x: isinstance(x, tuple)  # noqa: E731
+    pairs = jax.tree_util.tree_map(new_weight_and_mask, params, masks)
+    new_params = jax.tree_util.tree_map(lambda p: p[0], pairs,
+                                        is_leaf=_is_pair)
+    new_masks = jax.tree_util.tree_map(lambda p: p[1], pairs,
+                                       is_leaf=_is_pair)
     return new_params, new_masks
 
 

@@ -330,3 +330,46 @@ def test_mas_orth_reg_off_by_default():
     rule = m.make_update_rule()
     assert isinstance(rule, MASRule) and not rule.orth_reg
     assert not m._l1_decay()
+
+
+def test_importance_budget_chunking_matches_resident(setup, monkeypatch):
+    """With the HBM data budget forced to 0, the estimators stream host
+    chunks — and must reproduce the resident result (global-mean
+    rescaling, ragged tail included)."""
+    spec, seq, sd = setup
+    td = seq.get_task_dataset(1)
+    ctx = make_context(spec, task=0, n_tasks=1, class_counts=[4, 4],
+                       mean=seq.mean, std=seq.std, update_rule=UpdateRule(),
+                       augment=False, mesh=None)
+    params = jax.tree_util.tree_map(jnp.asarray, sd["params"])
+    bank = {"kernel": jnp.asarray(sd["heads"]["kernel"]),
+            "bias": jnp.asarray(sd["heads"]["bias"]),
+            "class_counts": np.asarray([4, 4])}
+    images = np.asarray(td.train.images[:56])  # 56: ragged vs bs=16
+    labels = np.asarray(td.train.labels[:56])
+
+    resident_ewc = imp_lib.ewc_fisher(ctx, params, {}, bank, 0,
+                                      jnp.asarray(images),
+                                      jnp.asarray(labels), batch_size=16)
+    resident_mas = imp_lib.mas_importance(ctx, params, {}, bank, 0,
+                                          jnp.asarray(images), chunk=8)
+    monkeypatch.setenv("CLSURVEY_DATA_BUDGET_MB", "0")
+    chunked_ewc = imp_lib.ewc_fisher(ctx, params, {}, bank, 0, images,
+                                     labels, batch_size=16)
+    chunked_mas = imp_lib.mas_importance(ctx, params, {}, bank, 0, images,
+                                         chunk=8)
+    for a, b in zip(jax.tree_util.tree_leaves(resident_ewc),
+                    jax.tree_util.tree_leaves(chunked_ewc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-8)
+    for a, b in zip(jax.tree_util.tree_leaves(resident_mas),
+                    jax.tree_util.tree_leaves(chunked_mas)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-8)
+    # IMM mode fisher: sampled labels make chunked != resident bitwise;
+    # check the chunked path runs and yields finite positive precisions
+    prec = imp_lib.imm_mode_fisher(ctx, params, {}, bank, 0,
+                                   [images], 16, jax.random.PRNGKey(0))
+    for leaf in jax.tree_util.tree_leaves(prec):
+        arr = np.asarray(leaf)
+        assert np.all(np.isfinite(arr)) and np.all(arr >= 1e-8)

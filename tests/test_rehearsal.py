@@ -205,3 +205,32 @@ def test_gem_memory_grads_chunk_invariant(fresh_config):
     np.testing.assert_allclose(grads[17], grads[48], rtol=1e-4, atol=1e-7)
     np.testing.assert_allclose(grads[20], grads[48], rtol=1e-4, atol=1e-7)
     assert np.abs(grads[48]).max() > 0  # non-trivial gradients
+
+
+def test_partial_mem_remainder_covers_all_tasks():
+    """When n_append < n past tasks, the remainder sampler must give every
+    past task replay probability (the r1 static split starved the
+    high-index tasks entirely), drawing rows from the right buffers."""
+    from clsurvey_tpu.methods.rehearsal import (_exemplar_split,
+                                                _sample_remainder_rows)
+
+    assert _exemplar_split(2, 5) == (0, 2)
+    assert _exemplar_split(7, 3) == (2, 1)
+
+    t = 5
+    mem = fresh_task_memory(n_tasks=t, n_memories=4, input_size=(2, 2))
+    for tt in range(t):
+        x = jnp.full((4, 2, 2, 3), tt, jnp.uint8)
+        y = jnp.full((4,), tt * 10)
+        mem = ring_buffer_update(mem, tt, x, y)
+    seen = set()
+    for s in range(64):
+        x_u8, y, tt_dyn = _sample_remainder_rows(
+            jax.random.PRNGKey(s), mem, t, 2, None)
+        for row in range(2):
+            task = int(tt_dyn[row])
+            seen.add(task)
+            # the row really comes from that task's buffer
+            assert int(x_u8[row, 0, 0, 0]) == task
+            assert int(y[row]) == task * 10
+    assert seen == set(range(t))
