@@ -75,7 +75,9 @@ class INaturalistSequence(TaskSequence):
     def __init__(self, ds_name: str = "inat", ds_root: str | None = None,
                  **_):
         self.name = ds_name
-        self.order = "rel" if ds_name.endswith("rel") else "unrel"
+        # NOTE "unrel".endswith("rel") — check the longer suffix first
+        self.order = ("unrel" if ds_name.endswith("unrel")
+                      else "rel" if ds_name.endswith("rel") else "unrel")
         self.ordering = (ORDER_REL if self.order == "rel" else ORDER_UNREL)
         self._root = os.path.join(
             ds_root or load_config().ds_root_path,

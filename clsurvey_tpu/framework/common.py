@@ -20,7 +20,7 @@ class RunArgs:
 
     model_name: str = "small_VGG9_cl_128_128"
     ds_name: str = "tiny"
-    method_name: str = "FT"
+    method_name: str = "finetuning"  # = the CLI default
     num_epochs: int = 70
     batch_size: int = 200
     lr_grid: tuple = (1e-2, 5e-3, 1e-3, 5e-4, 1e-4)
@@ -68,6 +68,8 @@ class RunArgs:
         if self.runmode == "debug" or self.debug:
             self.num_epochs = 2
             self.lr_grid = (self.lr_grid[0],)
+            if self.boot_lr_grid:  # task 1 uses the boot grid — collapse
+                self.boot_lr_grid = (self.boot_lr_grid[0],)
             self.finetune_iterations = 1
         elif self.runmode == "timing_mode":
             self.max_task_count = 4
@@ -109,7 +111,8 @@ class Manager:
 
     # --- path scheme --------------------------------------------------------
     def task_dir(self, task_counter: int | None = None,
-                 method_name: str | None = None) -> str:
+                 method_name: str | None = None,
+                 create: bool = True) -> str:
         return paths_lib.get_train_results_path(
             self.dataset.name,
             method_name or self.method.name,
@@ -117,14 +120,21 @@ class Manager:
             self.gridsearch_name,
             self.exp_name,
             task_counter=task_counter or self.task_counter,
+            create=create,
         )
 
-    def task_training_dir(self, task_counter: int | None = None) -> str:
-        return paths_lib.get_task_training_dir(self.task_dir(task_counter))
+    def task_training_dir(self, task_counter: int | None = None,
+                          create: bool = True) -> str:
+        return paths_lib.get_task_training_dir(
+            self.task_dir(task_counter, create=create), create=create)
 
-    def best_model_path(self, task_counter: int | None = None) -> str:
-        return os.path.join(self.task_training_dir(task_counter),
-                            paths_lib.BEST_MODEL_FILENAME)
+    def best_model_path(self, task_counter: int | None = None,
+                        create: bool = True) -> str:
+        """``create=False`` for existence probes — a query must not
+        litter empty task_N/TASK_TRAINING trees for untrained tasks."""
+        return os.path.join(
+            self.task_training_dir(task_counter, create=create),
+            paths_lib.BEST_MODEL_FILENAME)
 
     def set_dataset(self, task_counter: int) -> None:
         """ref:src/framework/main.py:197-202."""

@@ -60,18 +60,9 @@ def default_inference_eval(manager, model, ref_task: int) -> float:
     trainable = jax.tree_util.tree_map(jnp.asarray, trainable)
     batch_stats = jax.tree_util.tree_map(
         jnp.asarray, model.get("batch_stats", {}))
-    images = np.asarray(split.images)
-    if images.nbytes > data_budget_bytes():
-        row_bytes = max(images.nbytes // max(images.shape[0], 1), 1)
-        acc, per_class_c, per_class_t = engine.evaluate_chunked(
-            trainable, batch_stats, images, np.asarray(split.labels),
-            manager.args.batch_size,
-            max(data_budget_bytes() // 2 // row_bytes, 1))
-    else:
-        acc, per_class_c, per_class_t = engine.evaluate(
-            trainable, batch_stats,
-            jnp.asarray(images), jnp.asarray(split.labels),
-            manager.args.batch_size)
+    acc, per_class_c, per_class_t = _evaluate_split(
+        engine, trainable, batch_stats, split.images, split.labels,
+        manager.args.batch_size)
     # per-class counters: printed by the reference per eval
     # (ref:src/framework/inference.py:60-80) and stashed for the result
     # dict's 'seq_per_class' entry
@@ -111,9 +102,8 @@ def eval_task_steps_accuracy(args, manager, ref_task: int,
                     manager, model_path, ref_task, trained_idx)
             else:
                 acc = default_inference_eval(
-                    manager,
-                    io.load(model_path) if isinstance(model_path, str)
-                    else model_path, ref_task)
+                    manager, _load_model_cached(manager, model_path),
+                    ref_task)
         except Exception:
             # a broken model aborts only the remaining models of this ref
             # task; the partial sequence is kept
@@ -127,6 +117,25 @@ def eval_task_steps_accuracy(args, manager, ref_task: int,
         seq_per_class.append(manager.extras.pop("last_per_class", None))
     return {"seq_res": seq_res, "seq_head_acc": seq_head_acc,
             "seq_per_class": seq_per_class}
+
+
+def _load_model_cached(manager, model_path):
+    """The (task x model) matrix revisits model k for every ref task <= k
+    — O(T^2) pickle loads without a cache. Small LRU in manager.extras
+    (AlexNet-224 checkpoints are ~10s of MB each)."""
+    if not isinstance(model_path, str):
+        return model_path
+    from collections import OrderedDict
+
+    cache = manager.extras.setdefault("eval_model_cache", OrderedDict())
+    model = cache.get(model_path)
+    if model is None:
+        model = io.load(model_path)
+        cache[model_path] = model
+    cache.move_to_end(model_path)
+    while len(cache) > 4:
+        cache.popitem(last=False)
+    return model
 
 
 def eval_all_models_all_tasks(args, manager, model_paths: list,
@@ -215,9 +224,9 @@ def eval_single_model_all_tasks(args, manager, model_path, out_dir: str
                 jnp.arange(logits.shape[-1]) < lo + ncls)
             return jnp.where(mask, logits, -1e10)
 
-        acc, _, _ = engine.evaluate(
-            trainable, batch_stats, jnp.asarray(split.images),
-            jnp.asarray(split.labels + lo), args.batch_size,
+        acc, _, _ = _evaluate_split(
+            engine, trainable, batch_stats, split.images,
+            np.asarray(split.labels) + lo, args.batch_size,
             predict=predict,
             n_counter_classes=int(np.max(counts)))
         seq_res.append((ref_task - 1, acc * 100.0))
@@ -243,6 +252,25 @@ def eval_single_model_all_tasks(args, manager, model_path, out_dir: str
     return results
 
 
+def _evaluate_split(engine, trainable, batch_stats, images, labels,
+                    batch_size, **kwargs):
+    """Budget-aware eval: splits over the HBM data budget stream through
+    evaluate_chunked, the rest ride resident (same counters either way)."""
+    import jax.numpy as jnp
+
+    from clsurvey_tpu.engine.train import data_budget_bytes
+
+    images = np.asarray(images)
+    labels = np.asarray(labels)
+    if images.nbytes > data_budget_bytes():
+        row_bytes = max(images.nbytes // max(images.shape[0], 1), 1)
+        return engine.evaluate_chunked(
+            trainable, batch_stats, images, labels, batch_size,
+            max(data_budget_bytes() // 2 // row_bytes, 1), **kwargs)
+    return engine.evaluate(trainable, batch_stats, jnp.asarray(images),
+                           jnp.asarray(labels), batch_size, **kwargs)
+
+
 def main(args, manager, ds_paths, model_paths):
     """ref:src/framework/eval.py:11-66."""
     out_dir = paths_lib.get_test_results_path(
@@ -252,6 +280,11 @@ def main(args, manager, ds_paths, model_paths):
     if hasattr(manager.method, "eval_model_preprocessing"):
         model_paths = manager.method.eval_model_preprocessing(
             args, manager, model_paths)
+    if not model_paths:
+        # task 1 failed with a caught RuntimeError -> the loop broke with
+        # nothing trained; report instead of IndexError deep in eval
+        print("EVAL SKIPPED: no trained models to evaluate")
+        return []
     if manager.method.name == "joint":
         return eval_single_model_all_tasks(args, manager, model_paths[-1],
                                            out_dir)

@@ -142,6 +142,12 @@ class HyperparameterFramework:
                             (os.unlink if os.path.isfile(path)
                              else __import__("shutil").rmtree)(path)
                 else:
+                    # NOTE the retained model trained with the PRE-decay
+                    # hyperparams, but the decayed values are what gets
+                    # checkpointed and carried into the next task — this
+                    # matches the reference exactly (decay runs before
+                    # the retain branch and mutates the dict the method
+                    # aliases, ref:framework_train.py:127-137)
                     print("RETAINING LAST ATTEMPT MODEL")
                     converged = True
             self._save_chkpt(exp_dir, threshold, val_acc)

@@ -12,7 +12,7 @@ import os
 import shutil
 import time
 
-from clsurvey_tpu.utils import io, rng as rng_lib
+from clsurvey_tpu.utils import io, paths as paths_lib, rng as rng_lib
 from clsurvey_tpu.utils.paths import (
     GRID_CKPT_FILENAME, LR_GRID_DIRNAME, TASK_TRAINING_DIRNAME,
     BEST_MODEL_FILENAME)
@@ -65,6 +65,12 @@ def lr_grid_single_task(args, manager, save_models_mode: str = "keep_none"):
     best_acc, best_lr = -1.0, None
     best_dir = None
     best_batch_dirs: list[str] = []
+    # the 1-sig-digit dirnames (reference format) collide for lrs closer
+    # than their rounding — fail loudly instead of silently sharing a dir
+    names = [paths_lib.lr_dirname(lr) for lr in lrs]
+    assert len(set(names)) == len(names), \
+        f"lr grid values collide in the reference's lr=X.Xe-YY dir " \
+        f"naming: {sorted(zip(names, lrs))}"
     for lr in lrs:
         accum_acc = 0.0
         best_it_acc, best_it_dir = -1.0, None
@@ -72,7 +78,7 @@ def lr_grid_single_task(args, manager, save_models_mode: str = "keep_none"):
         if lr not in processed:
             processed[lr] = {"acc": []}
         for it in range(args.finetune_iterations):
-            dirname = f"lr={lr:.1e}"
+            dirname = paths_lib.lr_dirname(lr)
             if args.finetune_iterations > 1:
                 dirname += f"_it{it}"
             grid_exp_dir = os.path.join(ft_parent_dir, dirname)

@@ -48,7 +48,7 @@ def resolve_task_model_path(args: RunArgs, manager: Manager,
     iCaRL (and GEM's task-1 wrap) postprocess their best model — the
     exemplar/memory aux rides inside — under a different name; prefer it
     (ref:src/framework/main.py:234-236 resolves best_model.pth.tar)."""
-    base = manager.best_model_path(task_counter)
+    base = manager.best_model_path(task_counter, create=False)
     postprocessed = base.replace(
         paths_lib.BEST_MODEL_FILENAME,
         paths_lib.BEST_MODEL_POSTPROCESSED_FILENAME)
@@ -153,7 +153,7 @@ def main(args: RunArgs):
         overwrite_dump_args(args, manager)
         manager.gridsearch_name = args.gridsearch_name
         manager.exp_name = args.exp_name
-        existing = manager.best_model_path(1)
+        existing = manager.best_model_path(1, create=False)
         if io.exists(existing):
             print("Base model already dumped, refusing overwrite:", existing)
             return manager

@@ -68,11 +68,11 @@ def get_train_results_path(
     return path
 
 
-def get_lr_dir(task_dir: str, lr: float, create: bool = True) -> str:
-    path = os.path.join(task_dir, LR_GRID_DIRNAME, f"lr={lr:g}")
-    if create:
-        os.makedirs(path, exist_ok=True)
-    return path
+def lr_dirname(lr: float) -> str:
+    """The grid's per-lr directory name — 1-significant-digit scientific,
+    the reference's float_to_scientific_str(lr) format
+    (ref:src/framework/lr_grid_train.py:65, utils.py:357-367)."""
+    return f"lr={lr:.1e}"
 
 
 def get_task_training_dir(task_dir: str, create: bool = True) -> str:

@@ -277,3 +277,25 @@ def test_tiny_sequence_through_framework(fresh_config, raw_tree):
         "tiny", "finetuning", "tiny_CNN_cl_32_32", "testgrid",
         manager.exp_name, create=False)
     assert len(load_seq_res(out_dir, "finetuning", 1)) == 2
+
+
+def test_inat_ordering_name_parse(tmp_path):
+    """'inat_unrel' must select the UNRELATED ordering ('unrel' ends with
+    'rel' — regression for the suffix trap) and 'inat_rel' the related."""
+    from clsurvey_tpu.data import inaturalist as inat_mod
+
+    from clsurvey_tpu.data import imagefolders as imf
+    from clsurvey_tpu.data.registry import SplitData
+
+    sd = SplitData(np.zeros((2, 4, 4, 3), np.uint8),
+                   np.zeros(2, np.int32))
+    for order in ("rel", "unrel"):
+        out = tmp_path / f"inaturalist_{order}_10tasks"
+        out.mkdir()
+        imf.save_task_npz(str(out), 1, sd, sd, sd, ["c0"])
+    for name, want in (("inat", "unrel"), ("inat_unrel", "unrel"),
+                       ("inat_rel", "rel")):
+        seq = inat_mod.INaturalistSequence(name, ds_root=str(tmp_path))
+        assert seq.order == want, (name, seq.order)
+        assert seq.ordering == (inat_mod.ORDER_REL if want == "rel"
+                                else inat_mod.ORDER_UNREL)
