@@ -129,7 +129,7 @@ def main():
 
     extras = {
         "bs512_imgs_per_sec": round(imgs_512, 1),
-        "gem_step_imgs_per_sec": _bench_gem(spec, images, labels, ctx),
+        "gem_step_imgs_per_sec": _bench_gem(spec, images, labels),
         "ewc_fisher_imgs_per_sec": _bench_fisher(spec, state_dict, ctx,
                                                  images, labels),
         "alexnet224_imgs_per_sec": _bench_alexnet224(),
@@ -146,7 +146,7 @@ def main():
     }))
 
 
-def _bench_gem(spec, images, labels, base_ctx):
+def _bench_gem(spec, images, labels, mem_batch: int = 128):
     """GEM train-step throughput at the Tiny-ImageNet protocol point:
     task 5 of 10, 4 past-task buffers of 1024 exemplars (the per-step
     vmapped memory-grad sweep + QP is GEM's hot path, ref:gem.py:206-287)."""
@@ -158,7 +158,7 @@ def _bench_gem(spec, images, labels, base_ctx):
 
     sd = init_model_state(spec, jax.random.PRNGKey(3), max_tasks=10,
                           classes_per_task=20)
-    rule = GEMRule(n_memories=1024, mem_batch=128)
+    rule = GEMRule(n_memories=1024, mem_batch=mem_batch)
     ctx = make_context(
         spec, task=4, n_tasks=5, class_counts=[20] * 10,
         mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
@@ -276,6 +276,8 @@ def _main_with_watchdog():
     import subprocess
     import sys
 
+    import time as _time
+
     for attempt in range(2):
         try:
             r = subprocess.run(
@@ -284,8 +286,12 @@ def _main_with_watchdog():
             if r.returncode == 0:
                 return
         except subprocess.TimeoutExpired:
-            print(f"bench attempt {attempt} timed out; retrying",
-                  file=sys.stderr)
+            # tunnel-release gap before the retry: the freshly-killed
+            # child holds the chip lock for minutes (CLAUDE.md) and an
+            # instant retry would stall on it and burn the last attempt
+            print(f"bench attempt {attempt} timed out; retrying after "
+                  f"a 180s tunnel-release gap", file=sys.stderr)
+            _time.sleep(180)
     sys.exit(1)
 
 

@@ -3,13 +3,21 @@
 Times full epochs (forced host read per epoch) with pieces removed:
   full        the real train step (gather + preprocess + fwd/bwd + SGD)
   noaug       augment=False (no flip + no per-batch bernoulli)
-  nogather    contiguous slices instead of the shuffled row gather
-  fwdbwd      value_and_grad only — no momentum/update/metrics
-  fwd         forward + loss only
+  fwdbwd      value_and_grad only — contiguous slices, no aug, no
+              momentum/update/metrics (so full-noaug-fwdbwd conflates
+              the gather AND the update; per-gather numbers come from
+              scripts/bench_gather.py)
+  fwd         forward + loss only (same caveats; also lets XLA DCE some
+              weight-gradients — a lower bound, not a budget line)
 Run: python scripts/bench_ablate.py [bs]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -11,7 +11,8 @@ fwd+bwd. Candidates:
   take_i32    bitcast rows to int32 (4x fewer lanes), take, bitcast back
   slice       contiguous dynamic_slice (no shuffle) — speed-of-light ref
 
-Run: python scripts/bench_gather.py [n] [bs]
+Run: python scripts/bench_gather.py [n] [bs] [px]
+(px*px*3 must be divisible by 4 for the int32 bitcast variant)
 """
 
 import sys
@@ -27,6 +28,9 @@ def main():
     bs = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     px = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     row = px * px * 3
+    if row % 4:
+        sys.exit(f"px={px}: row bytes {row} not divisible by 4 — the "
+                 f"int32-bitcast variant needs 4-byte-aligned rows")
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 255, (n, px, px, 3), np.uint8))
     images_i32 = jax.lax.bitcast_convert_type(

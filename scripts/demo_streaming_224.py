@@ -23,7 +23,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main(argv=None):
@@ -65,7 +69,6 @@ def main(argv=None):
                      **{**common, "ds_name": small_ds}))
     resident_secs = time.time() - t1
 
-    imgs_streamed = a.tasks * 20 * a.n
     result = {
         "ds": ds_name,
         "train_imgs_per_task": 20 * a.n,

@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
 
-def run_sequence(out_root: str, ds_name: str, model_name: str,
+def run_sequence(ds_name: str, model_name: str,
                  momentum: float, epochs: int, lr: float, smax: float,
                  lamb: float, batch_size: int, seed: int) -> dict:
     import numpy as np
@@ -64,7 +64,8 @@ def run_sequence(out_root: str, ds_name: str, model_name: str,
             manager, lr, smax=smax, lamb=lamb, exp_dir=exp_dir,
             finetune_mode=False, seed=seed, num_epochs=epochs)
         task_wall.append(time.time() - start)
-        best_path = os.path.join(exp_dir, "best_model.pth.tar")
+        from clsurvey_tpu.utils.paths import BEST_MODEL_FILENAME
+        best_path = os.path.join(exp_dir, BEST_MODEL_FILENAME)
         manager.previous_task_model_path = best_path
         model_paths.append(best_path)
         print(f"[m={momentum:g}] task {t}: best val acc {best_acc:.4f} "
@@ -115,7 +116,7 @@ def main():
     results = {}
     for m in (float(x) for x in ns.momenta.split(",")):
         results[f"momentum_{m:g}"] = run_sequence(
-            ns.out, ns.ds, ns.model, m, ns.epochs, ns.lr, ns.smax, ns.c,
+            ns.ds, ns.model, m, ns.epochs, ns.lr, ns.smax, ns.c,
             ns.batch_size, ns.seed)
         with open(os.path.join(ns.out, "hat_study.json"), "w") as f:
             json.dump({"config": vars(ns), "results": results}, f, indent=1)

@@ -63,7 +63,7 @@ METHODS = [
 EPOCHS_OVERRIDE = {"HAT": 60, "pathnet": 30}
 
 
-def run_all(ds_name: str, epochs: int, batch_size: int, out_base: str,
+def run_all(ds_name: str, epochs: int, batch_size: int,
             only=None, max_attempts: int = 3,
             lr_grid=(5e-2, 1e-2), boot_lr_grid=None, hp_overrides=None,
             shp_overrides=None):
@@ -219,7 +219,7 @@ def main(argv=None):
         hp_overrides = dict(s.split("=", 1) for s in a.hp)
         shp_overrides = dict(s.split("=", 1) for s in a.shp)
         statuses = run_all(
-            ds_name, a.epochs, a.batch_size, a.out,
+            ds_name, a.epochs, a.batch_size,
             only=only, max_attempts=a.max_attempts,
             lr_grid=tuple(float(x) for x in a.lr_grid.split(",")),
             boot_lr_grid=tuple(float(x) for x in a.boot_lr_grid.split(","))

@@ -80,6 +80,7 @@ def run(ds_name: str, methods, max_attempts: int):
 
 
 def collect(ds_name: str, methods, statuses, out: str):
+    from clsurvey_tpu.framework.hyperparam import PHASE_TIMING_FILENAME
     from clsurvey_tpu.utils import io
     from clsurvey_tpu.utils.config import load_config
 
@@ -88,7 +89,7 @@ def collect(ds_name: str, methods, statuses, out: str):
     for name in methods:
         pattern = os.path.join(cfg.tr_results_root_path, ds_name, name,
                                MODEL, "gridsearch", GRID, "*", "task_*",
-                               "phase_timing.pth.tar")
+                               PHASE_TIMING_FILENAME)
         per_task = {}
         for path in sorted(glob.glob(pattern)):
             task = os.path.basename(os.path.dirname(path))
@@ -143,6 +144,10 @@ def main(argv=None):
     a = ap.parse_args(argv)
     ds_name = f"synthetic_{a.tasks}t_{a.classes}c_64px_{a.n}n"
     methods = [m for m in a.methods.split(",") if m]
+    unknown = [m for m in methods if m not in METHODS]
+    if unknown:
+        ap.error(f"unknown timing methods {unknown}; "
+                 f"choose from {list(METHODS)}")
     statuses = {}
     if not a.collect_only:
         statuses = run(ds_name, methods, a.max_attempts)
