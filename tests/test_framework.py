@@ -135,3 +135,41 @@ def test_eval_split_and_range_control(fresh_config):
     res = io.load(os.path.join(
         out_dir, "test_method_performancesfinetuning0.pth"))
     assert len(res["finetuning"]["seq_res"][0]) == 2  # models 1 and 2
+
+
+def test_cleanup_exp_and_test_overwrite_mode(fresh_config, ft_args):
+    """--cleanup_exp wipes the experiment tree before training (refused
+    while evaluating, ref:src/framework/main.py:142-147); eval artifacts
+    are only rewritten under --test_overwrite_mode
+    (ref:src/framework/eval.py:161-164)."""
+    from clsurvey_tpu.utils import paths as paths_lib
+
+    manager = run_main(ft_args)
+    out_dir = paths_lib.get_test_results_path(
+        "synthetic_2t_4c_32px", "finetuning", "tiny_CNN_cl_32_32",
+        "testgrid", manager.exp_name, create=False)
+    art = os.path.join(out_dir, "test_method_performancesfinetuning0.pth")
+    mtime0 = os.path.getmtime(art)
+
+    # rerun with --test: training skips via resume, eval must NOT rewrite
+    run_main(ft_args)
+    assert os.path.getmtime(art) == mtime0
+
+    # overwrite mode rewrites the artifacts
+    ft_args.test_overwrite_mode = True
+    run_main(ft_args)
+    assert os.path.getmtime(art) > mtime0
+    ft_args.test_overwrite_mode = False
+
+    # cleanup while evaluating is refused
+    ft_args.cleanup_exp = True
+    with pytest.raises(AssertionError):
+        run_main(ft_args)
+
+    # cleanup without --test wipes the tree and retrains from scratch
+    sentinel = os.path.join(manager.task_dir(1), "SENTINEL")
+    open(sentinel, "w").close()
+    ft_args.test = False
+    run_main(ft_args)
+    assert not os.path.exists(sentinel)  # tree was removed and rebuilt
+    assert io.exists(manager.best_model_path(1, create=False))
