@@ -41,6 +41,7 @@ from clsurvey_tpu.methods.base import Category, Method
 from clsurvey_tpu.models import heads as heads_lib
 from clsurvey_tpu.models.backbones import VGG_CFG, conv_init, dense_init
 from clsurvey_tpu.ops import preprocess as pp
+from clsurvey_tpu.parallel import mesh as mesh_lib
 from clsurvey_tpu.utils import io
 from clsurvey_tpu.utils.paths import BEST_MODEL_FILENAME, EPOCH_CKPT_FILENAME
 
@@ -323,7 +324,7 @@ class HATEngine:
     def __init__(self, model: HATVGG, spec, task: int, class_counts,
                  mean, std, smax: float, lamb_holder, mask_pre, mask_back,
                  momentum: float = 0.9, weight_decay: float = 0.0,
-                 finetune_mode: bool = False):
+                 finetune_mode: bool = False, mesh=None):
         self.model = model
         self.spec = spec
         self.task = task
@@ -335,6 +336,10 @@ class HATEngine:
         self.finetune_mode = finetune_mode
         self.mask_pre = mask_pre
         self.mask_back = mask_back
+        # Data-parallel mesh (SURVEY §2.7): batches sharded over the data
+        # axis, weights/embeddings/masks replicated; GSPMD inserts the
+        # gradient psums. Same design as engine/train.py's Engine.
+        self.mesh = mesh if mesh is not None else mesh_lib.get_mesh()
         self._train_epoch = jax.jit(self._train_epoch_impl,
                                     static_argnums=(7,),
                                     donate_argnums=(0,))
@@ -355,6 +360,7 @@ class HATEngine:
         trainable, momentum = state
         rng_pre, rng_d = jax.random.split(rng)
         x = pp.preprocess(rng_pre, x_u8, self.mean, self.std, augment=True)
+        x = mesh_lib.constrain_batch(x, self.mesh)
 
         def loss_fn(tr):
             feats, masks = self.model.apply(
@@ -440,6 +446,7 @@ class HATEngine:
             x = pp.preprocess(jax.random.PRNGKey(0),
                               gather_rows_u8(images, bidx), self.mean,
                               self.std, augment=False)
+            x = mesh_lib.constrain_batch(x, self.mesh)
             feats, _ = self.model.apply(
                 {"params": trainable["params"]}, x, self.task,
                 jnp.float32(self.smax), ones_gates=self.finetune_mode)
@@ -453,9 +460,18 @@ class HATEngine:
                                   (idx, weights))
         return c / jnp.maximum(t_, 1.0)
 
+    def _round_batch(self, batch_size: int, n: int) -> int:
+        """Clamp to the dataset and round to a mesh-size multiple so
+        ``constrain_batch`` never sees non-divisible shards."""
+        batch_size = min(int(batch_size), int(n))
+        nd = self.mesh.devices.size
+        if nd > 1 and batch_size % nd:
+            batch_size = max((batch_size // nd) * nd, nd)
+        return batch_size
+
     def evaluate(self, trainable, images, labels, batch_size):
         n = images.shape[0]
-        batch_size = min(batch_size, n)
+        batch_size = self._round_batch(batch_size, n)
         n_batches = -(-n // batch_size)
         pad = n_batches * batch_size - n
         idx = np.concatenate([np.arange(n), np.zeros(pad, np.int64)])
@@ -477,12 +493,25 @@ def hat_train_task(engine: HATEngine, exp_dir: str, trainable, task_data,
     """The reference Appr.train controller (ref:hat.py:96-199), including
     epoch-checkpoint resume (ref:hat.py:100-121)."""
     os.makedirs(exp_dir, exist_ok=True)
-    train_images = jnp.asarray(task_data.train.images)
-    train_labels = jnp.asarray(task_data.train.labels)
-    val_images = jnp.asarray(task_data.val.images)
-    val_labels = jnp.asarray(task_data.val.labels)
+    mesh = getattr(engine, "mesh", None)  # host-loop tests stub the engine
+    nd = mesh.devices.size if mesh is not None else 1
+    rep = mesh_lib.replicated(mesh) if nd > 1 else None
+
+    def place(tree):
+        return jax.device_put(tree, rep) if rep is not None else tree
+
+    train_images = place(jnp.asarray(task_data.train.images))
+    train_labels = place(jnp.asarray(task_data.train.labels))
+    val_images = place(jnp.asarray(task_data.val.images))
+    val_labels = place(jnp.asarray(task_data.val.labels))
     n_train = int(train_images.shape[0])
     bsz = min(batch_size, n_train)
+    if nd > 1 and bsz % nd:  # mesh-divisible shards for constrain_batch
+        bsz = max((bsz // nd) * nd, nd)
+    if n_train < bsz:
+        raise ValueError(
+            f"dataset of {n_train} samples cannot fill one batch of "
+            f"{bsz} on a {nd}-device mesh")
 
     # finite task-start snapshot BEFORE the donating jit consumes the
     # buffers: the fallback for runs that never improve (a NaN-aborted
@@ -490,7 +519,7 @@ def hat_train_task(engine: HATEngine, exp_dir: str, trainable, task_data,
     # engine/train.train_task)
     task_start = io.to_host(trainable)
     momentum = jax.tree_util.tree_map(jnp.zeros_like, trainable)
-    state = (trainable, momentum)
+    state = place((trainable, momentum))
     patience = lr_patience
     cur_lr = warmup_lr if warmup else lr
     best_acc, best_model = 0.0, None
@@ -501,8 +530,9 @@ def hat_train_task(engine: HATEngine, exp_dir: str, trainable, task_data,
         ck = io.load(ckpt_path)
         if (abs(ck.get("smax", engine.smax) - engine.smax) < 1e-6
                 and abs(ck.get("lamb", lamb) - lamb) < 1e-6):
-            state = (jax.tree_util.tree_map(jnp.asarray, ck["trainable"]),
-                     jax.tree_util.tree_map(jnp.asarray, ck["momentum"]))
+            state = place(
+                (jax.tree_util.tree_map(jnp.asarray, ck["trainable"]),
+                 jax.tree_util.tree_map(jnp.asarray, ck["momentum"])))
             start_epoch = ck["epoch"] + 1
             cur_lr, patience = ck["lr"], ck["patience"]
             best_acc, in_warmup = ck["best_acc"], ck["warmup"]
@@ -545,9 +575,10 @@ def hat_train_task(engine: HATEngine, exp_dir: str, trainable, task_data,
                 break
             contained_lr_cap = cur_lr
             restore = best_model if best_model is not None else task_start
-            state = (jax.tree_util.tree_map(jnp.asarray, restore),
-                     jax.tree_util.tree_map(
-                         lambda x: jnp.zeros_like(jnp.asarray(x)), restore))
+            state = place(
+                (jax.tree_util.tree_map(jnp.asarray, restore),
+                 jax.tree_util.tree_map(
+                     lambda x: jnp.zeros_like(jnp.asarray(x)), restore)))
             patience = lr_patience
             log(f"diverged — restored best weights, lr={cur_lr:g}")
         else:

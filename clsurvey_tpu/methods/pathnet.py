@@ -40,6 +40,7 @@ from clsurvey_tpu.methods.base import Category, Method
 from clsurvey_tpu.models import heads as heads_lib
 from clsurvey_tpu.models.backbones import VGG_CFG, conv_init, dense_init
 from clsurvey_tpu.ops import preprocess as pp
+from clsurvey_tpu.parallel import mesh as mesh_lib
 from clsurvey_tpu.utils import io
 from clsurvey_tpu.utils.paths import BEST_MODEL_FILENAME
 
@@ -305,6 +306,17 @@ class PathNet(Method):
     def _make_fns(self, model, mean, std, class_counts, task):
         import optax
 
+        # Data-parallel mesh (SURVEY §2.7): candidate-path batches sharded
+        # over the data axis, module weights/paths/gates replicated.
+        mesh = mesh_lib.get_mesh()
+        nd = mesh.devices.size
+
+        def round_batch(batch_size, n):
+            batch_size = min(int(batch_size), int(n))
+            if nd > 1 and batch_size % nd:
+                batch_size = max((batch_size // nd) * nd, nd)
+            return batch_size
+
         def bank(tr):
             return {"kernel": tr["heads"]["kernel"],
                     "bias": tr["heads"]["bias"],
@@ -315,7 +327,7 @@ class PathNet(Method):
         @jax.jit
         def train_epoch(trainable, momentum, images, labels, perm, path,
                         gates, rng, lr):
-            bsz = min(64, perm.shape[0])
+            bsz = round_batch(64, perm.shape[0])
             steps = perm.shape[0] // bsz
 
             def step(carry, i):
@@ -324,6 +336,7 @@ class PathNet(Method):
                 idx = jax.lax.dynamic_slice_in_dim(perm, i * bsz, bsz)
                 x = pp.preprocess(pre, gather_rows_u8(images, idx), mean,
                                   std, True)
+                x = mesh_lib.constrain_batch(x, mesh)
                 y = jnp.take(labels, idx, 0)
 
                 def loss_fn(tr):
@@ -362,6 +375,7 @@ class PathNet(Method):
                 x = pp.preprocess(jax.random.PRNGKey(0),
                                   gather_rows_u8(images, bidx), mean, std,
                                   False)
+                x = mesh_lib.constrain_batch(x, mesh)
                 feats = model.apply({"params": trainable["params"]}, x,
                                     path)
                 logits = heads_lib.forward(bank(trainable), feats, task)
@@ -377,7 +391,7 @@ class PathNet(Method):
         def eval_acc(trainable, images, labels, path,
                      batch_size: int = 256):
             n = int(images.shape[0])
-            batch_size = min(batch_size, n)
+            batch_size = round_batch(batch_size, n)
             n_batches = -(-n // batch_size)
             pad = n_batches * batch_size - n
             idx = np.concatenate([np.arange(n), np.zeros(pad, np.int64)])
@@ -434,12 +448,19 @@ class PathNet(Method):
             "heads": {"kernel": jnp.asarray(state["heads"]["kernel"]),
                       "bias": jnp.asarray(state["heads"]["bias"])},
         }
+        mesh = mesh_lib.get_mesh()
+        rep = mesh_lib.replicated(mesh) if mesh.devices.size > 1 else None
+        if rep is not None:
+            trainable = jax.device_put(trainable, rep)
         class_counts = np.asarray(state["heads"]["class_counts"])
         td = manager.current_task_dataset
         images = jnp.asarray(td.train.images)
         labels = jnp.asarray(td.train.labels)
         val_images = jnp.asarray(td.val.images)
         val_labels = jnp.asarray(td.val.labels)
+        if rep is not None:
+            images, labels, val_images, val_labels = jax.device_put(
+                (images, labels, val_images, val_labels), rep)
         train_epoch, eval_acc = self._make_fns(
             model, manager.dataset.mean, manager.dataset.std, class_counts,
             t)
@@ -460,6 +481,9 @@ class PathNet(Method):
                     key, pk, sk = jax.random.split(key, 3)
                     perm = jax.random.permutation(pk, n_train)
                     bsz = min(64, n_train)
+                    nd = mesh_lib.num_devices()
+                    if nd > 1 and bsz % nd:  # match train_epoch's rounding
+                        bsz = max((bsz // nd) * nd, nd)
                     perm = perm[: (n_train // bsz) * bsz]
                     trainable, momenta[p] = train_epoch(
                         trainable, momenta[p], images, labels, perm,

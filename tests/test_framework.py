@@ -173,3 +173,41 @@ def test_cleanup_exp_and_test_overwrite_mode(fresh_config, ft_args):
     run_main(ft_args)
     assert not os.path.exists(sentinel)  # tree was removed and rebuilt
     assert io.exists(manager.best_model_path(1, create=False))
+
+
+def test_hyperparam_decay_alternation():
+    """Multi-hyperparam decay follows the reference's documented sequence
+    exactly (ref:src/framework/framework_train.py:168-216 docstring):
+    (5,2) -> (2.5,2) -> (5,1) -> (2.5,1) -> (1.25,1) -> (2.5,0.5)."""
+    from collections import OrderedDict
+    from types import SimpleNamespace
+
+    from clsurvey_tpu.framework.hyperparam import HyperparameterFramework
+    from clsurvey_tpu.methods import parse as parse_method
+
+    method = parse_method("HAT")  # two decayed hyperparams (smax, c)
+    method.hyperparams = OrderedDict([("lambda", 5.0), ("alpha", 2.0)])
+    hf = HyperparameterFramework(method)
+    args = SimpleNamespace(decaying_factor=0.5)
+    seen = []
+    for _ in range(5):
+        hf.hyperparamDecay(args, None)
+        seen.append(tuple(hf.hyperparams.values()))
+    assert seen == [(2.5, 2.0), (5.0, 1.0), (2.5, 1.0), (1.25, 1.0),
+                    (2.5, 0.5)], seen
+
+    # single hyperparam: plain multiplicative decay
+    method = parse_method("SI")
+    method.hyperparams = OrderedDict([("lambda", 400.0)])
+    hf = HyperparameterFramework(method)
+    hf.hyperparamDecay(args, None)
+    hf.hyperparamDecay(args, None)
+    assert hf.hyperparams["lambda"] == 100.0
+
+    # PathNet's decay_operator increments N instead of multiplying
+    # (ref:src/methods/method.py:565-593)
+    method = parse_method("pathnet")
+    method.hyperparams = OrderedDict([("N", 3)])
+    hf = HyperparameterFramework(method)
+    hf.hyperparamDecay(args, None)
+    assert hf.hyperparams["N"] == 4

@@ -202,6 +202,125 @@ def test_bn_epoch_dp_matches_single_device(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
 
 
+def test_hat_dp_matches_single_device(tmp_path):
+    """HAT's gated epoch (in-scan s-annealing, sparsity reg, cosh-
+    compensated embedding grads) must give the same metrics on an
+    8-device data mesh as on one device — the mask method's own engine
+    rides the same GSPMD layer as the shared engine (SURVEY §2.7)."""
+    from clsurvey_tpu.methods.hat import (
+        HATEngine, compute_mask_pre, make_hat_model)
+    from clsurvey_tpu.models import heads as heads_lib
+
+    spec = parse_model_name(str(tmp_path), "tiny_CNN_cl_32_32", (32, 32))
+    seq = parse_ds("synthetic_2t_4c_32px")
+    td = seq.get_task_dataset(1)
+    model = make_hat_model(spec, n_tasks=2)
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key},
+                           jnp.zeros((2, 32, 32, 3)), 0, jnp.float32(1.0))
+    counts = np.asarray([4, 4], np.int32)
+    bank = heads_lib.init_head_bank(jax.random.fold_in(key, 5), 2,
+                                    spec.feature_dim, 4, counts)
+    images = jnp.asarray(td.train.images)
+    labels = jnp.asarray(td.train.labels)
+    perm = jax.random.permutation(jax.random.PRNGKey(0), images.shape[0])
+    results = {}
+    for name, mesh in _dp_meshes():
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), variables["params"])
+        engine = HATEngine(
+            model, spec, 0, counts, seq.mean, seq.std, 400.0, None,
+            compute_mask_pre(model, params, 0, 400.0), None, mesh=mesh)
+        trainable = {
+            "params": params,
+            "heads": {"kernel": jnp.array(bank["kernel"], copy=True),
+                      "bias": jnp.array(bank["bias"], copy=True)}}
+        state = (trainable,
+                 jax.tree_util.tree_map(jnp.zeros_like, trainable))
+        if mesh.devices.size > 1:
+            state = jax.device_put(state, mesh_lib.replicated(mesh))
+        for e in range(2):
+            k = jax.random.fold_in(jax.random.PRNGKey(1), e)
+            state, m = engine._train_epoch(
+                state, images, labels, perm, k, jnp.float32(0.01),
+                jnp.float32(0.5), 32)
+        # non-divisible eval batch exercises _round_batch + padding
+        val_acc = engine.evaluate(state[0], jnp.asarray(td.val.images),
+                                  jnp.asarray(td.val.labels), 30)
+        results[name] = (float(m["loss"]), float(m["acc"]), val_acc)
+    assert results["dp8"] == pytest.approx(results["dp1"], rel=2e-2,
+                                           abs=1e-3), results
+
+
+def test_pathnet_dp_matches_single_device(tmp_path):
+    """A PathNet candidate-path epoch + padded eval under dp8 matches dp1
+    (module weights/paths/gates replicated, batch sharded)."""
+    from clsurvey_tpu.methods.pathnet import PathNet, module_train_mask
+    from clsurvey_tpu.models import heads as heads_lib
+
+    spec = parse_model_name(str(tmp_path), "tiny_CNN_cl_32_32", (32, 32))
+    seq = parse_ds("synthetic_2t_4c_32px")
+    td = seq.get_task_dataset(1)
+    pn = PathNet()
+    pn.static_hyperparams["M"] = 4
+
+    class _Mgr:
+        model_spec = spec
+
+    model = pn._module(_Mgr(), N=2)
+    L = model.n_layers
+    n_convs = len(model.layer_sizes()[0])
+    path = np.tile(np.asarray([0, 1], np.int32), (L, 1))
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((2, 32, 32, 3)), jnp.asarray(path))
+    counts = np.asarray([4, 4], np.int32)
+    bank = heads_lib.init_head_bank(jax.random.PRNGKey(5), 2,
+                                    model.feature_dim, 4, counts)
+    images = jnp.asarray(td.train.images)
+    labels = jnp.asarray(td.train.labels)
+    n = int(images.shape[0])
+    results = {}
+    for name, mesh in _dp_meshes():
+        with mesh_lib.use_mesh(mesh):
+            train_epoch, eval_acc = pn._make_fns(
+                model, seq.mean, seq.std, counts, 0)
+            trainable = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True),
+                {"params": variables["params"],
+                 "heads": {"kernel": bank["kernel"],
+                           "bias": bank["bias"]}})
+            momentum = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+            if mesh.devices.size > 1:
+                trainable, momentum = jax.device_put(
+                    (trainable, momentum), mesh_lib.replicated(mesh))
+            gates = module_train_mask(trainable["params"], path,
+                                      np.zeros((L, 4), np.float32),
+                                      n_convs)
+            bsz = min(64, n)
+            nd = mesh.devices.size
+            if nd > 1 and bsz % nd:
+                bsz = max((bsz // nd) * nd, nd)
+            for e in range(2):
+                k = jax.random.fold_in(jax.random.PRNGKey(1), e)
+                perm = jax.random.permutation(k, n)[: (n // bsz) * bsz]
+                trainable, momentum = train_epoch(
+                    trainable, momentum, images, labels, perm,
+                    jnp.asarray(path), gates, jax.random.fold_in(k, 1),
+                    jnp.float32(0.01))
+            acc = float(eval_acc(trainable, jnp.asarray(td.val.images),
+                                 jnp.asarray(td.val.labels),
+                                 jnp.asarray(path), batch_size=30))
+            # L2-norm probe (a plain sum of the near-zero-mean kernel
+            # catastrophically cancels — reduction-order noise dominates)
+            weight_probe = float(jnp.linalg.norm(
+                trainable["heads"]["kernel"]))
+            results[name] = (acc, weight_probe)
+    assert results["dp8"][0] == pytest.approx(results["dp1"][0], abs=2e-2), \
+        results
+    assert results["dp8"][1] == pytest.approx(results["dp1"][1], rel=1e-3), \
+        results
+
+
 def test_batch_size_rounded_to_mesh_multiple(tmp_path):
     """bs=30 on an 8-device mesh must not crash constrain_batch: the
     engine rounds train batches down (30→24) and eval batches up (30→32,
