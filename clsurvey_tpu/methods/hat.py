@@ -40,6 +40,7 @@ from clsurvey_tpu.methods import common
 from clsurvey_tpu.methods.base import Category, Method
 from clsurvey_tpu.models import heads as heads_lib
 from clsurvey_tpu.models.backbones import VGG_CFG, conv_init, dense_init
+from clsurvey_tpu.ops import pool_pallas
 from clsurvey_tpu.ops import preprocess as pp
 from clsurvey_tpu.parallel import mesh as mesh_lib
 from clsurvey_tpu.utils import io
@@ -77,7 +78,7 @@ class HATVGG(nn.Module):
         conv_idx = 0
         for v in cfg:
             if v == "M":
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = pool_pallas.pool2x2(x)
                 continue
             x = nn.Conv(int(v), (3, 3), padding="SAME", dtype=self.dtype,
                         kernel_init=conv_init,

@@ -25,6 +25,8 @@ import jax
 import flax.linen as nn
 import jax.numpy as jnp
 
+from clsurvey_tpu.ops import pool_pallas
+
 # Feature-extractor configs, numbers-as-data from the reference table
 # (ref:src/models/VGGSlim.py:13-24). 'M' = 2x2 stride-2 max-pool.
 VGG_CFG: dict[str, tuple] = {
@@ -85,7 +87,7 @@ class VGGFeatures(nn.Module):
     def __call__(self, x, train: bool = False):
         for i, v in enumerate(self.cfg):
             if v == "M":
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = pool_pallas.pool2x2(x)
             else:
                 x = nn.Conv(
                     int(v), (3, 3), padding="SAME", dtype=self.dtype,
