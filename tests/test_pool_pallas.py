@@ -17,6 +17,7 @@ def _xla_pool(x):
 SHAPES = [(4, 8, 8, 64), (3, 16, 16, 128), (2, 64, 64, 64)]
 
 
+@pytest.mark.smoke  # on TPU this exercises the real Mosaic compile
 @pytest.mark.parametrize("shape", SHAPES)
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_forward_matches_xla(shape, dtype):
@@ -27,6 +28,7 @@ def test_forward_matches_xla(shape, dtype):
                                   np.asarray(want, np.float32))
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("shape", SHAPES)
 def test_vjp_matches_xla_including_ties(shape):
     # small-integer values force frequent in-window ties: the argmax
