@@ -211,3 +211,27 @@ def test_hyperparam_decay_alternation():
     hf = HyperparameterFramework(method)
     hf.hyperparamDecay(args, None)
     assert hf.hyperparams["N"] == 4
+
+
+def test_runmode_overwrites():
+    """debug collapses the protocol; timing_mode fixes the measurement
+    protocol (ref:src/framework/main.py:269-300)."""
+    from clsurvey_tpu.framework.common import RunArgs
+
+    a = RunArgs(model_name="tiny_CNN_cl_32_32",
+                ds_name="synthetic_2t_4c_32px", method_name="finetuning",
+                runmode="timing_mode", lr_grid=(1e-2, 1e-3),
+                boot_lr_grid=(1e-1, 1e-2), num_epochs=70)
+    a.apply_runmode()
+    assert a.max_task_count == 4
+    assert a.lr_grid == (5e-3,) and a.boot_lr_grid == (5e-3,)
+    assert a.batch_size == 200 and a.num_epochs == 10
+    assert a.finetune_iterations == 1
+
+    b = RunArgs(model_name="tiny_CNN_cl_32_32",
+                ds_name="synthetic_2t_4c_32px", method_name="finetuning",
+                debug=True, lr_grid=(1e-2, 1e-3), boot_lr_grid=(1e-1, 1e-2),
+                num_epochs=70)
+    b.apply_runmode()
+    assert b.lr_grid == (1e-2,) and b.boot_lr_grid == (1e-1,)
+    assert b.num_epochs == 2 and b.finetune_iterations == 1
