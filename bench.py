@@ -137,6 +137,8 @@ def main():
     flops_img = vgg_train_flops_per_img("small_VGG9", (128, 128), 64, 20)
     extras["mfu_pct"] = round(
         100.0 * imgs_per_sec * flops_img / (V5E_BF16_PEAK_TFLOPS * 1e12), 2)
+    from clsurvey_tpu.ops import pool_pallas
+    extras["pallas_pool"] = pool_pallas.use_pallas_pool()
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 1),
