@@ -10,7 +10,9 @@ Two measurements:
    the number that decides (the env gate is read at trace time, so a
    fresh Engine per setting retraces with the chosen kernels).
 
-Run: python scripts/bench_pool.py [bs]
+Run: python scripts/bench_pool.py [bs] [--n N] [--iters I] [--reps R]
+(the size flags exist so the full code path can be sanity-run on CPU
+with tiny shapes before an unattended TPU run)
 """
 
 import os
@@ -46,11 +48,10 @@ def time_fn(fn, *args, reps=3):
     return best
 
 
-def isolated(bs):
+def isolated(bs, iters=50, reps=3):
     from clsurvey_tpu.ops import pool_pallas
 
-    print(f"== isolated pool fwd+bwd, bs={bs}, bf16, 50 iters ==")
-    iters = 50
+    print(f"== isolated pool fwd+bwd, bs={bs}, bf16, {iters} iters ==")
     for h, w, c in STAGE_SHAPES:
         x = jax.random.normal(jax.random.PRNGKey(0), (bs, h, w, c),
                               jnp.bfloat16)
@@ -66,19 +67,19 @@ def isolated(bs):
                 return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
             return run
 
-        t_xla = time_fn(make(_xla_pool), x) / iters * 1e3
-        t_pal = time_fn(make(pool_pallas.maxpool2x2), x) / iters * 1e3
+        t_xla = time_fn(make(_xla_pool), x, reps=reps) / iters * 1e3
+        t_pal = time_fn(make(pool_pallas.maxpool2x2), x,
+                        reps=reps) / iters * 1e3
         print(f"  ({bs},{h},{w},{c}): xla {t_xla:7.3f} ms  "
               f"pallas {t_pal:7.3f} ms  ({t_xla / t_pal:4.2f}x)")
 
 
-def full_step(bs):
+def full_step(bs, n=20000, reps=5):
     from clsurvey_tpu.engine.train import (
         Engine, TrainState, make_context, tree_zeros_like)
     from clsurvey_tpu.methods.base import UpdateRule
     from clsurvey_tpu.models.registry import init_model_state, ModelSpec
 
-    n = 20000
     spec = ModelSpec(
         name="small_VGG9_cl_128_128", arch="small_VGG9",
         input_size=(64, 64), classifier_dims=(128, 128),
@@ -119,7 +120,7 @@ def full_step(bs):
                                       key, 5e-3, bs)
             return m["loss"]
 
-        best = time_fn(run, reps=5)
+        best = time_fn(run, reps=reps)
         per_batch = best / steps * 1e3
         results[setting] = per_batch
         print(f"  pallas_pool={setting}: {per_batch:7.3f} ms/batch "
@@ -130,10 +131,19 @@ def full_step(bs):
 
 
 def main():
-    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("bs", nargs="?", type=int, default=200)
+    ap.add_argument("--n", type=int, default=20000,
+                    help="full-epoch dataset rows")
+    ap.add_argument("--iters", type=int, default=50,
+                    help="isolated fori_loop iterations")
+    ap.add_argument("--reps", type=int, default=None,
+                    help="best-of repetitions (default 3 isolated/5 full)")
+    a = ap.parse_args()
     print(f"backend={jax.default_backend()} devices={jax.devices()}")
-    isolated(bs)
-    full_step(bs)
+    isolated(a.bs, iters=a.iters, reps=a.reps or 3)
+    full_step(a.bs, n=a.n, reps=a.reps or 5)
 
 
 if __name__ == "__main__":
