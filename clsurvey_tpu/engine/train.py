@@ -43,6 +43,12 @@ from clsurvey_tpu.utils import rowgather
 from clsurvey_tpu.utils.paths import (
     BEST_MODEL_FILENAME, EPOCH_CKPT_FILENAME)
 
+# Epochs ending above this train loss are treated as divergence (like NaN):
+# healthy losses are O(ln n_classes + reg terms) — orders of magnitude
+# below — while a finite-but-exploded epoch is just the step before the
+# NaN and must never be recorded as a best model.
+DIVERGENCE_LOSS_BOUND = 1e6
+
 
 @flax.struct.dataclass
 class TrainState:
@@ -674,9 +680,15 @@ def train_task(engine: Engine, job: TrainJob, state: TrainState,
                 json.dump({"error_history": error_history, "lr": lr,
                            "train_loss": train_loss}, f)
 
-        if np.isnan(train_loss):
-            # NaN guard aborts training (ref:src/methods/SI/train_SI.py:242)
-            log("NaN loss — aborting training")
+        if not np.isfinite(train_loss) or train_loss > DIVERGENCE_LOSS_BOUND:
+            # NaN guard aborts training (ref:src/methods/SI/train_SI.py:242).
+            # Finite-but-exploded losses are the same failure one epoch
+            # earlier: without the bound, an exploded epoch at chance val
+            # accuracy (> the initial best_acc of 0) is recorded as "best"
+            # and its 1e11+-scale weights chain into the next task's
+            # Phase-1, which then NaNs from epoch 0 (observed with SI
+            # lambda-decay retries on trivially-separable data).
+            log(f"diverged (loss={train_loss:.4g}) — aborting training")
             break
 
         if val_acc > best_acc:

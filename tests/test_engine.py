@@ -187,6 +187,43 @@ def test_failed_run_persists_init_model(spec, tmp_path):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+def test_finite_explosion_never_becomes_best(spec, tmp_path, monkeypatch):
+    """An epoch that ends finite-but-exploded (the step BEFORE the NaN)
+    must abort like NaN and never be recorded as best: its chance-level
+    val accuracy beats the initial best_acc of 0.0, and persisting its
+    1e11+-scale weights poisons the next task's Phase-1 from epoch 0
+    (regression: SI lambda-decay retry cascade)."""
+    seq = parse_ds("synthetic_2t_4c_32px")
+    td = seq.get_task_dataset(1)
+    state_dict = init_model_state(spec, jax.random.PRNGKey(3), max_tasks=2,
+                                  classes_per_task=4)
+    ctx = make_context(spec, task=0, n_tasks=1, class_counts=[4, 4],
+                       mean=seq.mean, std=seq.std, update_rule=UpdateRule())
+    engine = Engine(ctx)
+    rule = UpdateRule()
+    trainable = {"params": state_dict["params"],
+                 "heads": {"kernel": state_dict["heads"]["kernel"],
+                           "bias": state_dict["heads"]["bias"]}}
+    state = TrainState(trainable, {}, tree_zeros_like(trainable),
+                       rule.init_state(trainable, {}, ctx))
+
+    monkeypatch.setattr(
+        engine, "train_epoch",
+        lambda st, *a, **k: (st, {"loss": 5e17, "acc": 0.25}))
+    monkeypatch.setattr(
+        engine, "evaluate", lambda *a, **k: (0.25, None, None))
+
+    job = TrainJob(exp_dir=str(tmp_path / "explodeexp"), num_epochs=4,
+                   batch_size=32, lr=1e-2)
+    best_model, best_acc, _ = train_task(engine, job, state, td,
+                                         log=lambda *a: None)
+    assert best_acc == 0.0
+    # the persisted model is the task-start snapshot, not the exploded one
+    assert best_model["meta"].get("failed_attempt")
+    for leaf in jax.tree_util.tree_leaves(best_model["params"]):
+        assert np.abs(np.asarray(leaf)).max() < 1e3
+
+
 def test_frozen_backbone_does_not_decay(spec):
     """freeze_backbone with weight_decay > 0: backbone params must stay
     bit-identical (the reference's freeze_mode optimizes only the
