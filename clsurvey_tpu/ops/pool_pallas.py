@@ -3,7 +3,7 @@
 Why: XLA lowers the max-pool VJP to one select-and-scatter per pool —
 the single largest line item of the flagship small_VGG9 step
 (docs/PERF.md: 0.65 ms of a ~3.0 ms step, plus 0.18 ms pool0 forward).
-This kernel pair stores a 2-bit argmax per output cell in the forward
+This kernel pair stores an argmax code per output cell in the forward
 and routes the cotangent directly in the backward — no
 select-and-scatter, no 6-D window-broadcast materializations (the two
 approaches already measured and rejected in docs/PERF.md).
@@ -14,12 +14,25 @@ activations around the pools live in XLA-chosen batch-minor layouts
 relayout copies that eat the win. ``scripts/bench_pool.py`` decides on
 real TPU hardware.
 
-Layout strategy: the NHWC array is viewed as 2-D ``(B*H, W*C)`` rows.
-Vertical 2:1 reduction pairs adjacent sublane rows; horizontal 2:1
-reduction groups the last dim as ``(Wo, 2*C)`` so the two horizontally-
-adjacent pixels of a window sit in adjacent lane halves — for C=64 a
-window-pair is exactly one 128-wide vreg. No strided slices (stride-2
-slicing breaks (8,128) tiling — measured 2x slower, docs/PERF.md).
+Layout strategy (Mosaic-constrained — the first version of this kernel
+used in-kernel reshapes that collapse sublane/lane dims, which Mosaic's
+``infer-vector-layout`` rejects as an "unsupported shape cast"; see
+docs/PERF.md):
+
+- The NHWC array is viewed OUTSIDE the kernel (free row-major bitcast)
+  as 4-D ``(B*H/2, 2, Wo, 2C)``: dim 1 separates the two image rows of
+  a window-row pair, and the two horizontally-adjacent pixels of each
+  window sit in the two C-halves of the 2C minor dim.
+- Inside the kernel the ONLY operations are leading-dim indexing
+  (``x[:, 0]`` / ``x[:, 1]`` — vertical pair), minor-dim lane rotates
+  by C (``pltpu.roll`` — horizontal pair), and elementwise select/max.
+  No reshapes, no sub-tile slices, no strided slices.
+- Every mask is produced by comparing vectors of the INPUT dtype
+  (including float iota lane indices and float argmax codes), so the
+  i1 mask layout always matches its consumers — mixing mask bitwidths
+  was the second Mosaic failure mode ("Invalid relayout" on i1).
+- Outputs carry valid data in the first C lanes of each 2C group; the
+  wrapper compacts with an XLA slice (fusible into the consumer).
 
 Tie-break parity: the argmax picks the FIRST maximum in window
 row-major order — identical to XLA select-and-scatter's GE-select
@@ -40,6 +53,7 @@ import os
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_rows_block(rows: int, row_bytes: int,
@@ -53,100 +67,115 @@ def _pick_rows_block(rows: int, row_bytes: int,
     return None
 
 
-def _fwd_kernel(c: int, x_ref, out_ref, idx_ref):
-    rb2, wc = x_ref.shape
-    rb = rb2 // 2
-    wo = wc // (2 * c)
-    x3 = x_ref[...].reshape(rb, 2, wc)
-    top = x3[:, 0].reshape(rb, wo, 2 * c)
-    bot = x3[:, 1].reshape(rb, wo, 2 * c)
-    a, b = top[..., :c], top[..., c:]
-    d, e = bot[..., :c], bot[..., c:]
-    # first-max-in-window-order tie-break (matches select-and-scatter GE)
-    t_ge = a >= b
-    val_t = jnp.where(t_ge, a, b)
-    idx_t = jnp.where(t_ge, jnp.uint8(0), jnp.uint8(1))
-    b_ge = d >= e
-    val_b = jnp.where(b_ge, d, e)
-    idx_b = jnp.where(b_ge, jnp.uint8(2), jnp.uint8(3))
-    f_ge = val_t >= val_b
-    out_ref[...] = jnp.where(f_ge, val_t, val_b).reshape(rb, wo * c)
-    idx_ref[...] = jnp.where(f_ge, idx_t, idx_b).reshape(rb, wo * c)
+def _roll_c(x, c):
+    """Swap the two C-halves of the 2C minor dim (axis 2 of a 3-D
+    vector). On an axis of size exactly 2C, roll(+C) == roll(-C), so one
+    non-negative rotate serves both pairing directions (pltpu.roll
+    rejects negative shifts)."""
+    return pltpu.roll(x, c, 2)
 
 
-def _bwd_kernel(c: int, g_ref, idx_ref, dx_ref):
-    rb, woc = g_ref.shape
-    wo = woc // c
-    g3 = g_ref[...].reshape(rb, wo, c)
-    idx = idx_ref[...].reshape(rb, wo, c)
-    zero = jnp.zeros_like(g3)
-    top = jnp.concatenate(
-        [jnp.where(idx == 0, g3, zero), jnp.where(idx == 1, g3, zero)],
-        axis=-1).reshape(rb, 1, 2 * woc)
-    bot = jnp.concatenate(
-        [jnp.where(idx == 2, g3, zero), jnp.where(idx == 3, g3, zero)],
-        axis=-1).reshape(rb, 1, 2 * woc)
-    dx_ref[...] = jnp.concatenate([top, bot], axis=1).reshape(
-        2 * rb, 2 * woc)
+def _fwd_kernel(c: int, x_ref, val_ref, idx_ref):
+    top = x_ref[:, 0]          # (rb, wo, 2c): [a | b] per window
+    bot = x_ref[:, 1]          # (rb, wo, 2c): [d | e] per window
+    # lanes [0:c) hold the window pair-compare; [c:2c) is wrap garbage
+    rtop = _roll_c(top, c)
+    rbot = _roll_c(bot, c)
+    one = jnp.ones_like(top)
+    t_ge = top >= rtop                      # a >= b (first-max tie-break)
+    val_t = jnp.where(t_ge, top, rtop)
+    idx_t = jnp.where(t_ge, one * 0, one)   # codes 0 / 1
+    b_ge = bot >= rbot                      # d >= e
+    val_b = jnp.where(b_ge, bot, rbot)
+    idx_b = jnp.where(b_ge, one * 2, one * 3)
+    f_ge = val_t >= val_b                   # top row wins ties
+    val = jnp.where(f_ge, val_t, val_b)
+    idx = jnp.where(f_ge, idx_t, idx_b)
+    # duplicate the valid [0:c) argmax codes into [c:2c) so the backward
+    # kernel can select both halves with one dtype-homogeneous compare
+    lane = jax.lax.broadcasted_iota(top.dtype, top.shape, 2)
+    in_lo = lane < one * c
+    val_ref[...] = val
+    idx_ref[...] = jnp.where(in_lo, idx, _roll_c(idx, c))
+
+
+def _bwd_kernel(c: int, gg_ref, idx_ref, dx_ref):
+    gg = gg_ref[...]           # (rb, wo, 2c): cotangent duplicated halves
+    idx = idx_ref[...]
+    one = jnp.ones_like(gg)
+    lane = jax.lax.broadcasted_iota(gg.dtype, gg.shape, 2)
+    # lane slot [0:c) receives the cotangent iff idx picked the left
+    # pixel (codes 0 / 2); [c:2c) iff the right pixel (codes 1 / 3)
+    want_top = jnp.where(lane < one * c, one * 0, one)
+    zero = jnp.zeros_like(gg)
+    dx_ref[:, 0] = jnp.where(idx == want_top, gg, zero)
+    dx_ref[:, 1] = jnp.where(idx == want_top + 2, gg, zero)
 
 
 def supported(shape, dtype=None) -> bool:
-    """Kernel preconditions: 4-D NHWC, even H and W, lane-aligned flats."""
+    """Kernel preconditions: 4-D NHWC, even H and W, C a multiple of 64
+    (so the 2C window-pair minor dim is lane-tile aligned) and C <= 128
+    (lane iota codes must stay exactly representable in bf16)."""
     if len(shape) != 4:
         return False
     b, h, w, c = shape
-    return (h % 2 == 0 and w % 2 == 0 and (w * c) % 256 == 0
-            and ((w // 2) * c) % 128 == 0 and h >= 2 and w >= 2)
+    return (h % 2 == 0 and w % 2 == 0 and h >= 2 and w >= 2
+            and c % 64 == 0 and 0 < c <= 128)
 
 
-@functools.partial(jax.jit, static_argnames=())
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
 def _fwd_pair(x):
     b, h, w, c = x.shape
-    rows, wc = b * (h // 2), w * c
-    flat = x.reshape(rows * 2, wc)
-    bpe = 3 * jnp.dtype(x.dtype).itemsize + 1  # in + out + grad-ish + idx
-    rb = _pick_rows_block(rows, 2 * wc * bpe)
+    rows, wo = b * (h // 2), w // 2
+    x4 = x.reshape(rows, 2, wo, 2 * c)      # free row-major bitcast
+    bpe = 3 * jnp.dtype(x.dtype).itemsize + jnp.dtype(x.dtype).itemsize
+    rb = _pick_rows_block(rows, 2 * w * c * bpe)
     if rb is None:  # pathological row count: single-row blocks
         rb = 1
-    out, idx = pl.pallas_call(
+    val_w, idx_w = pl.pallas_call(
         functools.partial(_fwd_kernel, c),
-        interpret=jax.default_backend() == "cpu",
+        interpret=_interpret(),
         grid=(rows // rb,),
         out_shape=(
-            jax.ShapeDtypeStruct((rows, wc // 2), x.dtype),
-            jax.ShapeDtypeStruct((rows, wc // 2), jnp.uint8),
+            jax.ShapeDtypeStruct((rows, wo, 2 * c), x.dtype),
+            jax.ShapeDtypeStruct((rows, wo, 2 * c), x.dtype),
         ),
-        in_specs=[pl.BlockSpec((2 * rb, wc), lambda i: (i, 0))],
+        in_specs=[pl.BlockSpec((rb, 2, wo, 2 * c), lambda i: (i, 0, 0, 0))],
         out_specs=(
-            pl.BlockSpec((rb, wc // 2), lambda i: (i, 0)),
-            pl.BlockSpec((rb, wc // 2), lambda i: (i, 0)),
+            pl.BlockSpec((rb, wo, 2 * c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rb, wo, 2 * c), lambda i: (i, 0, 0)),
         ),
-    )(flat)
-    return (out.reshape(b, h // 2, w // 2, c),
-            idx.reshape(b, h // 2, w // 2, c))
+    )(x4)
+    # compact the valid first C lanes of each window group (XLA slice —
+    # fusible into the consumer)
+    out = val_w[:, :, :c].reshape(b, h // 2, wo, c)
+    return out, idx_w
 
 
-def _bwd_dx(g, idx, x_shape):
+def _bwd_dx(g, idx_w, x_shape):
     b, h, w, c = x_shape
-    rows, woc = b * (h // 2), (w // 2) * c
-    g2 = g.reshape(rows, woc)
-    idx2 = idx.reshape(rows, woc)
-    bpe = 3 * jnp.dtype(g.dtype).itemsize + 1
-    rb = _pick_rows_block(rows, 2 * woc * bpe)
+    rows, wo = b * (h // 2), w // 2
+    g3 = g.astype(idx_w.dtype).reshape(rows, wo, c)
+    gg = jnp.concatenate([g3, g3], axis=-1)  # duplicate into both halves
+    bpe = 4 * jnp.dtype(gg.dtype).itemsize
+    rb = _pick_rows_block(rows, 2 * w * c * bpe)
     if rb is None:
         rb = 1
-    dx = pl.pallas_call(
+    dx4 = pl.pallas_call(
         functools.partial(_bwd_kernel, c),
-        interpret=jax.default_backend() == "cpu",
+        interpret=_interpret(),
         grid=(rows // rb,),
-        out_shape=jax.ShapeDtypeStruct((rows * 2, 2 * woc), g.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows, 2, wo, 2 * c), gg.dtype),
         in_specs=[
-            pl.BlockSpec((rb, woc), lambda i: (i, 0)),
-            pl.BlockSpec((rb, woc), lambda i: (i, 0)),
+            pl.BlockSpec((rb, wo, 2 * c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rb, wo, 2 * c), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((2 * rb, 2 * woc), lambda i: (i, 0)),
-    )(g2, idx2)
-    return dx.reshape(b, h, w, c)
+        out_specs=pl.BlockSpec((rb, 2, wo, 2 * c), lambda i: (i, 0, 0, 0)),
+    )(gg, idx_w)
+    return dx4.reshape(b, h, w, c).astype(g.dtype)
 
 
 @jax.custom_vjp
@@ -156,13 +185,13 @@ def maxpool2x2(x):
 
 
 def _vjp_fwd(x):
-    out, idx = _fwd_pair(x)
-    return out, (idx, x.shape)
+    out, idx_w = _fwd_pair(x)
+    return out, (idx_w, x.shape)
 
 
 def _vjp_bwd(res, g):
-    idx, x_shape = res
-    return (_bwd_dx(g, idx, x_shape),)
+    idx_w, x_shape = res
+    return (_bwd_dx(g, idx_w, x_shape),)
 
 
 maxpool2x2.defvjp(_vjp_fwd, _vjp_bwd)
