@@ -8,11 +8,15 @@ and routes the cotangent directly in the backward — no
 select-and-scatter, no 6-D window-broadcast materializations (the two
 approaches already measured and rejected in docs/PERF.md).
 
-Adoption is gated OFF by default (``CLSURVEY_PALLAS_POOL=1``): the conv
-activations around the pools live in XLA-chosen batch-minor layouts
-(docs/PERF.md "lane geometry"), so the kernel boundary can force
-relayout copies that eat the win. ``scripts/bench_pool.py`` decides on
-real TPU hardware.
+Adoption is gated OFF by default (``CLSURVEY_PALLAS_POOL=1``), and the
+r3 decision bench measured the kernel as a 1.64x end-to-end LOSS
+(``scripts/bench_pool.py`` on the real chip: 3.46 -> 5.67 ms/batch):
+the argmax side-output doubles the pool's HBM traffic while XLA's
+select-and-scatter recomputes window compares and fuses into the conv
+epilogue. The pair stays in-tree as a working, exactly-parity-pinned
+Mosaic reference (PROBE PASS on all stage/dtype combos; see
+docs/PERF.md "Decided (r3)" for the four lowering constraints it
+documents).
 
 Layout strategy (Mosaic-constrained — the first version of this kernel
 used in-kernel reshapes that collapse sublane/lane dims, which Mosaic's
@@ -76,8 +80,12 @@ def _roll_c(x, c):
 
 
 def _fwd_kernel(c: int, x_ref, val_ref, idx_ref):
-    top = x_ref[:, 0]          # (rb, wo, 2c): [a | b] per window
-    bot = x_ref[:, 1]          # (rb, wo, 2c): [d | e] per window
+    # Mosaic's tpu.dynamic_rotate only supports 32-bit data ("Rotate with
+    # non-32-bit data" on bf16, probed on the live chip) — compute in f32
+    # and cast back at store. bf16->f32 is exact and order-preserving, so
+    # max/tie-break semantics are bit-identical to native-bf16 compares.
+    top = x_ref[:, 0].astype(jnp.float32)   # (rb, wo, 2c): [a | b]
+    bot = x_ref[:, 1].astype(jnp.float32)   # (rb, wo, 2c): [d | e]
     # lanes [0:c) hold the window pair-compare; [c:2c) is wrap garbage
     rtop = _roll_c(top, c)
     rbot = _roll_c(bot, c)
@@ -93,23 +101,31 @@ def _fwd_kernel(c: int, x_ref, val_ref, idx_ref):
     idx = jnp.where(f_ge, idx_t, idx_b)
     # duplicate the valid [0:c) argmax codes into [c:2c) so the backward
     # kernel can select both halves with one dtype-homogeneous compare
-    lane = jax.lax.broadcasted_iota(top.dtype, top.shape, 2)
+    # Mosaic's tpu.iota only produces integer/index vectors: generate the
+    # lane index as int32 and convert to the compute dtype (a direct
+    # float iota fails lowering on real TPU — advisor-verified).
+    lane = jax.lax.broadcasted_iota(jnp.int32, top.shape, 2).astype(top.dtype)
     in_lo = lane < one * c
-    val_ref[...] = val
-    idx_ref[...] = jnp.where(in_lo, idx, _roll_c(idx, c))
+    val_ref[...] = val.astype(val_ref.dtype)
+    idx_ref[...] = jnp.where(in_lo, idx, _roll_c(idx, c)).astype(idx_ref.dtype)
 
 
 def _bwd_kernel(c: int, gg_ref, idx_ref, dx_ref):
-    gg = gg_ref[...]           # (rb, wo, 2c): cotangent duplicated halves
-    idx = idx_ref[...]
+    # All compute in f32: bf16 arith.cmpf -> i1 fails Mosaic relayout on
+    # the live chip (same class as the fwd rotate constraint); bf16->f32
+    # is exact so the select semantics are unchanged.
+    gg = gg_ref[...].astype(jnp.float32)   # (rb, wo, 2c): dup cotangent
+    idx = idx_ref[...].astype(jnp.float32)
     one = jnp.ones_like(gg)
-    lane = jax.lax.broadcasted_iota(gg.dtype, gg.shape, 2)
+    # int32 iota + convert: see _fwd_kernel (tpu.iota integer constraint)
+    lane = jax.lax.broadcasted_iota(jnp.int32, gg.shape, 2).astype(gg.dtype)
     # lane slot [0:c) receives the cotangent iff idx picked the left
     # pixel (codes 0 / 2); [c:2c) iff the right pixel (codes 1 / 3)
     want_top = jnp.where(lane < one * c, one * 0, one)
     zero = jnp.zeros_like(gg)
-    dx_ref[:, 0] = jnp.where(idx == want_top, gg, zero)
-    dx_ref[:, 1] = jnp.where(idx == want_top + 2, gg, zero)
+    dx_ref[:, 0] = jnp.where(idx == want_top, gg, zero).astype(dx_ref.dtype)
+    dx_ref[:, 1] = jnp.where(idx == want_top + 2, gg,
+                             zero).astype(dx_ref.dtype)
 
 
 def supported(shape, dtype=None) -> bool:

@@ -30,19 +30,25 @@ def test_forward_matches_xla(shape, dtype):
 
 @pytest.mark.smoke
 @pytest.mark.parametrize("shape", SHAPES)
-def test_vjp_matches_xla_including_ties(shape):
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_vjp_matches_xla_including_ties(shape, dtype):
     # small-integer values force frequent in-window ties: the argmax
     # routing must break them exactly like select-and-scatter's GE select
-    # (first max in window row-major order)
+    # (first max in window row-major order). bf16 is the riskier dtype:
+    # argmax codes and lane iota are stored in the input dtype.
     key = jax.random.PRNGKey(1)
-    x = jax.random.randint(key, shape, 0, 3).astype(jnp.float32)
+    x = jax.random.randint(key, shape, 0, 3).astype(dtype)
     w = jax.random.normal(jax.random.fold_in(key, 1),
                           (shape[0], shape[1] // 2, shape[2] // 2,
-                           shape[3]), jnp.float32)
+                           shape[3]), dtype)
 
-    g_ours = jax.grad(lambda t: jnp.sum(pool_pallas.maxpool2x2(t) * w))(x)
-    g_xla = jax.grad(lambda t: jnp.sum(_xla_pool(t) * w))(x)
-    np.testing.assert_array_equal(np.asarray(g_ours), np.asarray(g_xla))
+    def cast_sum(pool):
+        return lambda t: jnp.sum((pool(t) * w).astype(jnp.float32))
+
+    g_ours = jax.grad(cast_sum(pool_pallas.maxpool2x2))(x)
+    g_xla = jax.grad(cast_sum(_xla_pool))(x)
+    np.testing.assert_array_equal(np.asarray(g_ours, np.float32),
+                                  np.asarray(g_xla, np.float32))
 
 
 def test_vjp_matches_on_random_floats():
