@@ -12,9 +12,12 @@ the compiled step:
 so replay forwards, the GEM projection QP, herding and ring-buffer updates
 all happen on device with zero host round-trips.
 
-- **GEM** (ref:gem.py): per step, CE gradients on every past task's full
-  buffer (scan over memory batches, summing per-batch-mean grads exactly
-  like the reference's accumulated ``backward`` calls); if any
+- **GEM** (ref:gem.py): per step, the CE gradient of the MEAN over every
+  past task's full buffer (scanned in ``mem_batch`` chunks whose partial
+  sums divide by the global valid count — chunk-size invariant; a
+  documented deviation from the reference's sum of per-batch means,
+  whose magnitude grows with the batch count, see DEVIATIONS.md and
+  ``_memory_grads``); if any
   ``<g, g_mem> < 0``, the dual bound-QP projects g (ops/qp.py; the
   reference calls the quadprog C extension). Ring buffer filled from each
   batch's raw images. Task 1 only wraps the shared SI model + fills the
