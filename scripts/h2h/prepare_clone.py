@@ -1,0 +1,92 @@
+"""Build the CPU-patched scratch clone of /root/reference for the
+behavioral head-to-head (VERDICT r2 #2).
+
+The reference mount is read-only and must not be modified; this script
+copies ``src/`` into ``clsurvey_runs/refclone/``, applies MECHANICAL
+CPU patches (documented below — no behavioral edits beyond device
+placement and loader worker counts), installs the torchvision/quadprog/
+torchnet shims from scripts/h2h/shims, and drops ``data/h2h.py`` (the
+shared-dataset module whose pickles both sides consume).
+
+Patches (all regex-mechanical):
+- ``.cuda()`` / ``.cuda(non_blocking=True)`` stripped (the reference
+  hardcodes CUDA, ref:src/framework/inference.py:22).
+- ``torch.cuda.memory_*`` telemetry reads -> 0 (CPU build).
+- ``num_workers=N`` -> 0 and ``pin_memory=True`` -> False (single-core
+  VM; worker forks only add overhead and nondeterministic interleaving).
+- ``'cuda': True`` overwrite-dict entries -> False (rehearsal/packnet/
+  HAT engines take a cuda flag instead of hardcoding).
+
+Run: python scripts/h2h/prepare_clone.py [--dest clsurvey_runs/refclone]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import shutil
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+REF_SRC = "/root/reference/src"
+
+PATCHES = [
+    (re.compile(r"\.cuda\(non_blocking=True\)"), ""),
+    (re.compile(r"\.cuda\(\)"), ""),
+    (re.compile(r"torch\.cuda\.memory_allocated\(device=None\)"), "0"),
+    (re.compile(r"torch\.cuda\.memory_cached\(device=None\)"), "0"),
+    (re.compile(r"torch\.cuda\.max_memory_allocated\(\)"), "0"),
+    (re.compile(r"torch\.cuda\.max_memory_cached\(\)"), "0"),
+    (re.compile(r"num_workers=\d+"), "num_workers=0"),
+    (re.compile(r"pin_memory=True"), "pin_memory=False"),
+    (re.compile(r"'cuda': True"), "'cuda': False"),
+]
+
+
+def patch_text(text: str) -> str:
+    for rx, repl in PATCHES:
+        text = rx.sub(repl, text)
+    return text
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dest",
+                    default=os.path.join(REPO, "clsurvey_runs", "refclone"))
+    a = ap.parse_args(argv)
+
+    src_dst = os.path.join(a.dest, "src")
+    if os.path.exists(src_dst):
+        shutil.rmtree(src_dst)
+    os.makedirs(a.dest, exist_ok=True)
+    shutil.copytree(REF_SRC, src_dst)
+
+    n_patched = 0
+    for dirpath, _, fnames in os.walk(src_dst):
+        for fname in fnames:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            with open(path) as f:
+                text = f.read()
+            patched = patch_text(text)
+            if patched != text:
+                with open(path, "w") as f:
+                    f.write(patched)
+                n_patched += 1
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    shims_dst = os.path.join(a.dest, "shims")
+    if os.path.exists(shims_dst):
+        shutil.rmtree(shims_dst)
+    shutil.copytree(os.path.join(here, "shims"), shims_dst)
+    shutil.copy(os.path.join(here, "h2h_dataset.py"),
+                os.path.join(src_dst, "data", "h2h.py"))
+
+    print(f"clone ready at {a.dest} ({n_patched} files patched)")
+    return a.dest
+
+
+if __name__ == "__main__":
+    main()
