@@ -1,0 +1,220 @@
+"""Head-to-head diff: reference clone vs clsurvey_tpu on shared data.
+
+Loads, for every (sequence, method):
+- the Phase-1 LR grid (per-lr val accs + the selected lr) from
+  ``grid_checkpoint.pth`` (ref:src/framework/lr_grid_train.py:30-37;
+  ours mirrors the format),
+- the Phase-2 decay trajectory from each task's ``hyperparams.pth.tar``
+  (ref:src/framework/framework_train.py:58-64),
+- the (task x model) eval matrix from
+  ``test_method_performances<eval_name><i>.pth``
+  (ref:src/framework/eval.py:176-185),
+
+and writes docs/ref_head_to_head.md with per-cell deltas.
+
+Run after both sides finish:
+    python scripts/h2h/diff.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import pickle
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+
+MODEL = "small_VGG9_cl_128_128"
+GRID = "h2h"
+SEQUENCES = ("synthetic_3t_4c_32px_80n", "synthetic_3t_4c_32px_80n_hd150")
+METHODS = (("finetuning", "finetuning"), ("EWC", "EWC"))
+LR_ORDER = (1e-2, 5e-3, 1e-3)  # grid order both sides iterated
+
+
+def _load(path):
+    try:
+        import torch
+
+        return torch.load(path, weights_only=False, map_location="cpu")
+    except Exception:
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+
+def selected_lr(processed_lrs):
+    """Replicate the grid's strict-improvement tracking in grid order
+    (ref:src/framework/lr_grid_train.py:92-108): first max wins ties."""
+    best_lr, best_acc = None, -1.0
+    for lr in LR_ORDER:
+        accs = processed_lrs.get(lr, {}).get("acc", [])
+        for acc in accs:
+            if acc > best_acc:
+                best_acc, best_lr = acc, lr
+    return best_lr, best_acc
+
+
+def read_side(train_root, test_root, ds, method_dirname):
+    side = {"grid": {}, "decay": {}, "eval": {}}
+    base = os.path.join(train_root, ds, method_dirname, MODEL,
+                        "gridsearch", GRID)
+    for exp_dir in sorted(glob.glob(os.path.join(base, "*"))):
+        for task_dir in sorted(glob.glob(os.path.join(exp_dir, "task_*"))):
+            task = int(os.path.basename(task_dir).split("_")[1])
+            gc = os.path.join(task_dir, "FT_LR_GRIDSEARCH",
+                              "grid_checkpoint.pth")
+            if os.path.exists(gc):
+                side["grid"][task] = _load(gc)["processed_lrs"]
+            hp = os.path.join(task_dir, "TASK_TRAINING",
+                              "hyperparams.pth.tar")
+            if os.path.exists(hp):
+                d = _load(hp)
+                side["decay"][task] = {
+                    "val_acc": float(d.get("val_acc", float("nan"))),
+                    "threshold": float(
+                        d.get("acc_threshold", float("nan"))),
+                    "hyperparams": dict(d.get("state", {}).get(
+                        "hyperparams", {})),
+                    "attempts": int(d.get("state", {}).get("attempts", -1)),
+                }
+    for path in glob.glob(os.path.join(
+            test_root, "**", ds, "**",
+            f"test_method_performances*.pth"), recursive=True):
+        d = _load(path)
+        for eval_name, res in d.items():
+            seq_res = res.get("seq_res", {})
+            items = seq_res.items() if isinstance(seq_res, dict) \
+                else enumerate(seq_res)
+            for ref_idx, accs in items:
+                if accs:
+                    side["eval"][int(ref_idx) + 1] = [float(x)
+                                                      for x in accs]
+    return side
+
+
+def fmt_lr(lr):
+    return f"{lr:.0e}" if lr is not None else "—"
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ref", default=os.path.join(
+        REPO, "clsurvey_runs", "refclone", "runs"))
+    ap.add_argument("--ours", default=os.path.join(
+        REPO, "clsurvey_runs", "h2h_ours", "results"))
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "docs", "ref_head_to_head.md"))
+    a = ap.parse_args(argv)
+
+    lines = [
+        "# Reference head-to-head — the actual reference program vs "
+        "clsurvey_tpu on bit-identical data",
+        "",
+        "Setup: the reference (`/root/reference/src`) runs as a scratch "
+        "CPU-patched clone (scripts/h2h/prepare_clone.py — mechanical "
+        "device/worker patches + torchvision/quadprog/torchnet shims, "
+        "read-only mount untouched); both frameworks consume the SAME "
+        "uint8 images (deterministic synthetic generator, seed 7) with "
+        "identical ImageNet normalization, the same protocol "
+        "(small_VGG9_cl_128_128, 10 epochs, batch 20, lr grid "
+        "{1e-2, 5e-3, 1e-3}, drop_margin 0.2, decay 0.5, max 5 attempts) "
+        "and the same torchvision weight-init scheme (kaiming fan_out "
+        "convs, N(0, 0.01) linears). Weight DRAWS differ (torch vs JAX "
+        "RNG) — deltas reflect framework behavior, not shared noise.",
+        "",
+    ]
+
+    for ds in SEQUENCES:
+        kind = "Bayes-limited hard mode (hd150)" if "hd" in ds \
+            else "trivially separable"
+        lines += [f"## `{ds}` — {kind}", ""]
+        for ref_m, our_m in METHODS:
+            ref = read_side(os.path.join(a.ref, "train"),
+                            os.path.join(a.ref, "test"), ds, ref_m)
+            ours = read_side(os.path.join(a.ours, "train"),
+                             os.path.join(a.ours, "test", "results"),
+                             ds, our_m)
+            lines += [f"### {ref_m}", ""]
+
+            # Phase-1 grid
+            lines += ["Phase-1 LR grid (val acc per lr; selected in "
+                      "**bold** — strict-improvement, first max wins):",
+                      "",
+                      "| task | side | " + " | ".join(
+                          fmt_lr(lr) for lr in LR_ORDER) + " | selected |",
+                      "|---|---|" + "---|" * (len(LR_ORDER) + 1)]
+            tasks = sorted(set(ref["grid"]) | set(ours["grid"]))
+            for t in tasks:
+                for label, side in (("ref", ref), ("ours", ours)):
+                    pl = side["grid"].get(t, {})
+                    sel, _ = selected_lr(pl)
+                    cells = []
+                    for lr in LR_ORDER:
+                        accs = pl.get(lr, {}).get("acc", [])
+                        txt = f"{accs[0]:.4f}" if accs else "—"
+                        if lr == sel:
+                            txt = f"**{txt}**"
+                        cells.append(txt)
+                    lines.append(f"| {t} | {label} | " + " | ".join(cells)
+                                 + f" | {fmt_lr(sel)} |")
+            lines.append("")
+
+            # Phase-2 decay
+            dtasks = sorted(set(ref["decay"]) | set(ours["decay"]))
+            if dtasks:
+                lines += ["Phase-2 stability decay (final hyperparams / "
+                          "attempts used / converged val acc vs "
+                          "threshold):", "",
+                          "| task | side | hyperparams | attempts | "
+                          "val_acc | threshold |", "|---|---|---|---|---|---|"]
+                for t in dtasks:
+                    for label, side in (("ref", ref), ("ours", ours)):
+                        d = side["decay"].get(t)
+                        if d is None:
+                            lines.append(f"| {t} | {label} | — | — | — | — |")
+                            continue
+                        hp = ", ".join(f"{k}={v:.4g}" for k, v in
+                                       d["hyperparams"].items()) or "(none)"
+                        lines.append(
+                            f"| {t} | {label} | {hp} | {d['attempts']} | "
+                            f"{d['val_acc']:.4f} | {d['threshold']:.4f} |")
+                lines.append("")
+
+            # Eval matrix
+            etasks = sorted(set(ref["eval"]) | set(ours["eval"]))
+            if etasks:
+                lines += ["Eval matrix (rows = ref task; cells = acc at "
+                          "each trained model ≥ task; Δ = ours − ref in "
+                          "accuracy points):", "",
+                          "| ref task | ref | ours | Δ per cell |",
+                          "|---|---|---|---|"]
+                deltas = []
+                for t in etasks:
+                    r = ref["eval"].get(t, [])
+                    o = ours["eval"].get(t, [])
+                    dd = [f"{(b - a) * 100:+.1f}"
+                          for a, b in zip(r, o)]
+                    deltas += [abs(b - a) * 100 for a, b in zip(r, o)]
+                    lines.append(
+                        "| " + " | ".join([
+                            str(t),
+                            " ".join(f"{x:.3f}" for x in r) or "—",
+                            " ".join(f"{x:.3f}" for x in o) or "—",
+                            " ".join(dd) or "—"]) + " |")
+                if deltas:
+                    lines += ["", f"max |Δ| = {max(deltas):.1f} pts, "
+                              f"mean |Δ| = {sum(deltas)/len(deltas):.1f} "
+                              f"pts over {len(deltas)} cells", ""]
+            lines.append("")
+
+    os.makedirs(os.path.dirname(a.out), exist_ok=True)
+    with open(a.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote", a.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -74,3 +74,8 @@ class CenterCrop:
 class RandomResizedCrop:  # pragma: no cover - import-resolution stub
     def __init__(self, *a, **k):
         raise NotImplementedError("torchvision shim: RandomResizedCrop")
+
+
+# torchvision<0.8 alias the reference uses (ref:src/methods/EWC/
+# main_EWC.py:88); constructed even on the pre-tensorized path
+Scale = Resize
