@@ -27,6 +27,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 sys.path.insert(0, REPO)
+# reference artifacts pickle clone-module objects (manager/method/dataset)
+sys.path.insert(0, os.path.join(REPO, "clsurvey_runs", "refclone", "shims"))
+sys.path.insert(0, os.path.join(REPO, "clsurvey_runs", "refclone", "src"))
 
 MODEL = "small_VGG9_cl_128_128"
 GRID = "h2h"
@@ -72,6 +75,8 @@ def read_side(train_root, test_root, ds, method_dirname):
                               "hyperparams.pth.tar")
             if os.path.exists(hp):
                 d = _load(hp)
+                if not d.get("state", {}).get("hyperparams"):
+                    continue  # Phase-1-only method: no decay state
                 side["decay"][task] = {
                     "val_acc": float(d.get("val_acc", float("nan"))),
                     "threshold": float(
@@ -81,7 +86,7 @@ def read_side(train_root, test_root, ds, method_dirname):
                     "attempts": int(d.get("state", {}).get("attempts", -1)),
                 }
     for path in glob.glob(os.path.join(
-            test_root, "**", ds, "**",
+            test_root, "**", ds, method_dirname, "**",
             f"test_method_performances*.pth"), recursive=True):
         d = _load(path)
         for eval_name, res in d.items():

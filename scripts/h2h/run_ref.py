@@ -88,8 +88,20 @@ def main(argv=None):
     sys.argv = argv_ref
 
     import framework.main as ref_main
+    import methods.method as ref_methods
 
-    ref_main.main(dataset=dataset)
+    method = ref_methods.parse(a.method_name)
+    if a.method_name == "finetuning":
+        # Head-to-head FINDING: the reference's Finetune defines no
+        # `train` hook, so its framework path (framework_train.py:105)
+        # crashes with AttributeError in the UNMODIFIED reference too —
+        # the baseline is only drivable Phase-1-only. Route it through
+        # lr_grid_single_task like the no_framework baselines
+        # (ref:src/framework/main.py:165-166), which is also how our
+        # framework treats it.
+        method.no_framework = True
+
+    ref_main.main(method=method, dataset=dataset)
 
 
 if __name__ == "__main__":
