@@ -70,12 +70,15 @@ run_item demo_refresh 9600 python scripts/run_survey_demo.py \
 # 5. timing_mode per-phase wall-clock (the reference's timing protocol).
 run_item timing_mode 4500 python scripts/run_timing_mode.py
 
-# 6. hd200 replay + distillation batch with whatever remains.
+# 6. Capability table: bs in {200,256,512} with MFU (short; PERF.md).
+run_item capability 1500 python scripts/bench_capability.py
+
+# 7. hd200 replay + distillation batch with whatever remains.
 run_item hd200_b2 14400 python scripts/run_survey_demo.py $PROTO \
   --ds_suffix _hd200 $HD_HP \
   --methods GEM,LWF,EBLL,ICARL --out docs/soak_hd200
 
-# 7. hd200 mask batch (almost certainly deadline-skipped; kept for resume).
+# 8. hd200 mask batch (almost certainly deadline-skipped; kept for resume).
 run_item hd200_b3 14400 python scripts/run_survey_demo.py $PROTO \
   --ds_suffix _hd200 $HD_HP \
   --methods packnet,HAT,finetuning_rehearsal_partial_mem,finetuning_rehearsal_full_mem \
