@@ -43,6 +43,32 @@ def _shared_basis(h: int, w: int) -> np.ndarray:
     return np.stack(basis)  # (K, h, w)
 
 
+def _task_basis(h: int, w: int, task: int, k: int) -> np.ndarray:
+    """k plane-wave patterns PRIVATE to one task (seeded by the task id,
+    disjoint from the shared bank's seed). When part of a task's class
+    signal rides these, later tasks — whose classes never use them — give
+    the backbone no reason to keep their detectors, so finetuning drifts
+    them away and forgets. This is the interference structure the
+    survey's real task sequences have (task-specific discriminative
+    features) that a fully-shared basis lacks."""
+    # integer-frequency plane waves are exactly orthogonal on the periodic
+    # grid, so different tasks' private banks (disjoint frequency slots)
+    # share no span; the 7..15 band also stays clear of the shared bank's
+    # 2-6 band. One global shuffle assigns each task its slot slice.
+    fx, fy = np.meshgrid(np.arange(7, 16), np.arange(-15, 16))
+    pairs = np.stack([fx.ravel(), fy.ravel()], axis=1)
+    pairs = pairs[np.random.default_rng(24680).permutation(len(pairs))]
+    start = ((task - 1) * k) % max(len(pairs) - k, 1)
+    rng = np.random.default_rng(7919 * task + 13)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    basis = []
+    for f in pairs[start:start + k]:
+        phase = rng.uniform(0, 2 * np.pi)
+        pat = np.sin(2 * np.pi * (f[0] * xx / w + f[1] * yy / h) + phase)
+        basis.append(pat)
+    return np.stack(basis)  # (k, h, w)
+
+
 def _hard_images(rng: np.random.Generator, basis: np.ndarray,
                  class_w: np.ndarray, n: int, amp: float, rho: float,
                  noise: float) -> np.ndarray:
@@ -84,6 +110,7 @@ class SyntheticSequence(TaskSequence):
                  noise: float = 0.08, seed: int = 7, **_):
         counts_list = None
         hard_rho = None
+        task_frac = 0.0
         # parse inline options from the name
         for seg in ds_name.split("_")[1:]:
             if seg.endswith("t"):
@@ -110,6 +137,14 @@ class SyntheticSequence(TaskSequence):
                 # features — the regime where the survey's method ordering
                 # (replay > mask > importance > finetune) is meaningful.
                 hard_rho = int(seg[2:]) / 100.0
+            elif seg.startswith("ts"):
+                # hard-mode interference knob: fraction of the basis that
+                # is PRIVATE to each task (ts50 -> half). Shared-only
+                # (ts0/absent) maximizes transfer — finetuning barely
+                # forgets; a task-specific share restores the survey's
+                # interference regime where protecting old-task weights
+                # pays in accuracy, not just forgetting.
+                task_frac = int(seg[2:]) / 100.0
             elif seg.endswith("n"):
                 n_train = int(seg[:-1])
                 n_val = n_test = max(n_train // 4, 8)
@@ -128,6 +163,7 @@ class SyntheticSequence(TaskSequence):
         self._n = (n_train, n_val, n_test)
         self._noise = noise
         self._hard_rho = hard_rho
+        self._task_frac = task_frac
         self._seed = seed
         self._cache: dict[int, TaskData] = {}
 
@@ -172,6 +208,10 @@ class SyntheticSequence(TaskSequence):
         rng = np.random.default_rng(self._seed * 1000 + task)
         if self._hard_rho is not None:
             basis = _shared_basis(h, w)
+            k_ts = round(_BASIS_K * self._task_frac)
+            if k_ts:
+                basis = np.concatenate(
+                    [basis[:_BASIS_K - k_ts], _task_basis(h, w, task, k_ts)])
             class_ws = rng.normal(0, 1, (ncls, _BASIS_K))
             splits = []
             for n_per in self._n:

@@ -58,6 +58,42 @@ def test_hard_mode_signal_in_shared_basis():
     assert resid < 0.35 * np.linalg.norm(cls_mean.ravel())
 
 
+def test_ts_knob_parses_and_is_deterministic():
+    seq2 = parse("synthetic_2t_3c_32px_40n_hd200_ts50")
+    assert seq2._hard_rho == pytest.approx(2.0)
+    assert seq2._task_frac == pytest.approx(0.5)
+    a = parse("synthetic_2t_3c_32px_40n_hd200_ts50").get_task_dataset(1)
+    b = parse("synthetic_2t_3c_32px_40n_hd200_ts50").get_task_dataset(1)
+    np.testing.assert_array_equal(a.train.images, b.train.images)
+
+
+def test_ts_knob_interference_structure():
+    """With ts50, a task's class-mean fields carry substantial energy in
+    that task's PRIVATE basis, and (near-)none in another task's private
+    basis — the structure that makes later tasks overwrite earlier tasks'
+    detectors (interference), unlike the fully-shared ts0 default."""
+    h = w = 32
+    name = "synthetic_2t_3c_32px_80n_hd100_ts50"
+    k_ts = round(syn._BASIS_K * 0.5)
+
+    def private_energy_frac(task, private_of):
+        td = parse(name).get_task_dataset(task)
+        imgs = td.train.images.astype(np.float64)
+        labels = td.train.labels
+        cls_mean = imgs[labels == 0].mean(axis=0).mean(axis=-1) - 128.0
+        shared = syn._shared_basis(h, w)[:syn._BASIS_K - k_ts]
+        private = syn._task_basis(h, w, private_of, k_ts)
+        full = np.concatenate([shared, private]).reshape(syn._BASIS_K, -1)
+        coef, *_ = np.linalg.lstsq(full.T, cls_mean.ravel(), rcond=None)
+        energy = coef ** 2
+        return energy[-k_ts:].sum() / energy.sum()
+
+    own = private_energy_frac(1, private_of=1)
+    cross = private_energy_frac(2, private_of=1)
+    assert own > 0.25, own          # real class signal in the private span
+    assert cross < own / 3, (own, cross)
+
+
 def test_disk_cache_roundtrip(tmp_path, monkeypatch):
     """CLSURVEY_SYNTH_CACHE: a fresh instance loads byte-identical data
     from the npz cache, and the uncached path generates the same."""
