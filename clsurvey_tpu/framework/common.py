@@ -52,6 +52,12 @@ class RunArgs:
     # force policy 'all' for the framework's Phase-1 FT grid
     # (ref:src/framework/main.py:39-40)
     save_models_FT_heuristic: bool = False
+    # train-time p=0.5 horizontal flip. Default ON (a recorded deviation:
+    # the reference's framework path trains on the NON-flip dataset
+    # variant — set_dataset(rnd_transform=False), ref:src/framework/
+    # main.py:163,197 — reserving the flip pickle for Joint,
+    # ref:src/methods/method.py:1204). --no_augment gives exact parity.
+    augment: bool = True
     debug: bool = False
     # capture a jax.profiler trace of the first task's training (the TPU
     # analog of the reference's timing telemetry, SURVEY §5)

@@ -269,6 +269,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=("all", "only_keep_best", "keep_none"),
                    help="Phase-1 LR-grid model retention "
                         "(ref:src/framework/lr_grid_train.py StoragePolicy)")
+    p.add_argument("--no_augment", dest="augment", action="store_false",
+                   help="Disable train-time horizontal flip (the "
+                        "reference's framework path trains un-flipped: "
+                        "rnd_transform=False, ref:src/framework/main.py:"
+                        "163,197; use for head-to-head parity runs)")
     p.add_argument("--save_models_FT_heuristic", action="store_true",
                    help="Keep every chkpt model of the framework's FT "
                         "phase (ref:src/framework/main.py:39-40, "

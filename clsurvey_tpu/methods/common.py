@@ -77,6 +77,9 @@ def build_engine(manager, update_rule: UpdateRule, task_counter: int,
                  class_counts=None, n_tasks: int | None = None,
                  l1_decay: bool = False) -> Engine:
     """EngineContext from framework state. ``task_counter`` is 1-based."""
+    # global --no_augment gate (parity runs); method-level augment=False
+    # (eval, Fisher sweeps, replay buffers) always wins
+    augment = augment and getattr(manager.args, "augment", True)
     seq = manager.dataset
     counts = class_counts
     if counts is None:

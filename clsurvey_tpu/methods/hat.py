@@ -325,7 +325,8 @@ class HATEngine:
     def __init__(self, model: HATVGG, spec, task: int, class_counts,
                  mean, std, smax: float, lamb_holder, mask_pre, mask_back,
                  momentum: float = 0.9, weight_decay: float = 0.0,
-                 finetune_mode: bool = False, mesh=None):
+                 finetune_mode: bool = False, mesh=None,
+                 augment: bool = True):
         self.model = model
         self.spec = spec
         self.task = task
@@ -333,6 +334,7 @@ class HATEngine:
         self.mean, self.std = tuple(mean), tuple(std)
         self.smax = float(smax)
         self.momentum = momentum
+        self.augment = augment
         self.weight_decay = weight_decay
         self.finetune_mode = finetune_mode
         self.mask_pre = mask_pre
@@ -360,7 +362,8 @@ class HATEngine:
 
         trainable, momentum = state
         rng_pre, rng_d = jax.random.split(rng)
-        x = pp.preprocess(rng_pre, x_u8, self.mean, self.std, augment=True)
+        x = pp.preprocess(rng_pre, x_u8, self.mean, self.std,
+                          augment=self.augment)
         x = mesh_lib.constrain_batch(x, self.mesh)
 
         def loss_fn(tr):
@@ -691,7 +694,8 @@ class HAT(Method):
             np.asarray(model["heads"]["class_counts"]),
             manager.dataset.mean, manager.dataset.std, smax,
             None, mask_pre, mask_back, momentum=self.momentum,
-            weight_decay=args.weight_decay, finetune_mode=finetune_mode)
+            weight_decay=args.weight_decay, finetune_mode=finetune_mode,
+            augment=getattr(args, "augment", True))
         head_key = jax.random.fold_in(jax.random.PRNGKey(seed), 17)
         trainable = common.prepare_trainable(model, t, head_key,
                                              reinit_head=True)

@@ -303,7 +303,8 @@ class PathNet(Method):
         }
 
     # ---- compiled pieces ------------------------------------------------------
-    def _make_fns(self, model, mean, std, class_counts, task):
+    def _make_fns(self, model, mean, std, class_counts, task,
+                  augment: bool = True):
         import optax
 
         # Data-parallel mesh (SURVEY §2.7): candidate-path batches sharded
@@ -335,7 +336,7 @@ class PathNet(Method):
                 r, sub, pre = jax.random.split(r, 3)
                 idx = jax.lax.dynamic_slice_in_dim(perm, i * bsz, bsz)
                 x = pp.preprocess(pre, gather_rows_u8(images, idx), mean,
-                                  std, True)
+                                  std, augment)
                 x = mesh_lib.constrain_batch(x, mesh)
                 y = jnp.take(labels, idx, 0)
 
@@ -463,7 +464,7 @@ class PathNet(Method):
                 (images, labels, val_images, val_labels), rep)
         train_epoch, eval_acc = self._make_fns(
             model, manager.dataset.mean, manager.dataset.std, class_counts,
-            t)
+            t, augment=getattr(manager.args, "augment", True))
 
         momenta = [jax.tree_util.tree_map(jnp.zeros_like, trainable)
                    for _ in range(P)]

@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.join(REPO, "clsurvey_runs", "refclone", "src"))
 MODEL = "small_VGG9_cl_128_128"
 GRID = "h2h"
 SEQUENCES = ("synthetic_3t_4c_32px_80n", "synthetic_3t_4c_32px_80n_hd150")
-METHODS = (("finetuning", "finetuning"), ("EWC", "EWC"))
+METHODS = (("finetuning", "finetuning"), ("EWC", "EWC"), ("GEM", "GEM"))
 LR_ORDER = (1e-2, 5e-3, 1e-3)  # grid order both sides iterated
 
 

@@ -16,6 +16,8 @@ import argparse
 import os
 import sys
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 sys.path.insert(0, REPO)
@@ -26,14 +28,47 @@ sys.path.insert(0, REPO)
 SEQUENCES = ("synthetic_3t_4c_32px_80n", "synthetic_3t_4c_32px_80n_hd150")
 
 
+def _write_split_imagefolder(imgfolder_cls, transforms_mod, root,
+                             images_u8, labels, classes):
+    """Lossless PNG tree + an ImageFolderTrainVal over it. Real on-disk
+    files (not the in-memory H2HSplit) because the reference's rehearsal
+    path stores exemplar PATHS and reloads them through ImagePathlist
+    (ref:src/methods/rehearsal/model/common.py:57-72) — exactly its
+    disk-round-trip behavior. PNG is lossless, so both frameworks still
+    consume bit-identical uint8 images."""
+    from PIL import Image
+
+    imgs = []
+    for c_idx, c in enumerate(classes):
+        cdir = os.path.join(root, c)
+        os.makedirs(cdir, exist_ok=True)
+        for j in np.flatnonzero(np.asarray(labels) == c_idx):
+            path = os.path.join(cdir, f"{j:05d}.png")
+            if not os.path.exists(path):
+                Image.fromarray(images_u8[j]).save(path)
+            imgs.append((path, c_idx))
+    transform = transforms_mod.Compose([
+        transforms_mod.ToTensor(),
+        transforms_mod.Normalize([0.485, 0.456, 0.406],
+                                 [0.229, 0.224, 0.225]),
+    ])
+    return imgfolder_cls(root, None, transform=transform,
+                         classes=list(classes),
+                         class_to_idx={c: i for i, c in enumerate(classes)},
+                         imgs=imgs)
+
+
 def export(dest: str):
     import torch
 
     from clsurvey_tpu.data.registry import parse
 
     clone_src = os.path.join(dest, "src")
+    sys.path.insert(0, os.path.join(dest, "shims"))
     sys.path.insert(0, clone_src)
-    from data.h2h import H2HDataset, H2HSplit  # noqa: E402
+    from data.h2h import H2HDataset  # noqa: E402
+    from data.imgfolder import ImageFolderTrainVal  # noqa: E402
+    from torchvision import transforms  # noqa: E402 (the clone shim)
 
     out = {}
     for ds_name in SEQUENCES:
@@ -43,12 +78,14 @@ def export(dest: str):
         paths = []
         for t in range(1, seq.task_count + 1):
             td = seq.get_task_dataset(t)
+            img_root = os.path.join(ds_dir, "imgs", f"task_{t}")
             dsets = {
-                "train": H2HSplit(td.train.images, td.train.labels,
-                                  td.classes),
-                "val": H2HSplit(td.val.images, td.val.labels, td.classes),
-                "test": H2HSplit(td.test.images, td.test.labels,
-                                 td.classes),
+                split: _write_split_imagefolder(
+                    ImageFolderTrainVal, transforms,
+                    os.path.join(img_root, split),
+                    getattr(td, split).images, getattr(td, split).labels,
+                    td.classes)
+                for split in ("train", "val", "test")
             }
             path = os.path.join(ds_dir, f"task_{t}.pth.tar")
             torch.save(dsets, path)

@@ -39,6 +39,9 @@ def main(argv=None):
     ap.add_argument("--lr_grid", default="1e-2,5e-3,1e-3")
     ap.add_argument("--max_attempts", type=int, default=5)
     ap.add_argument("--gridsearch_name", default="h2h")
+    ap.add_argument("--mem", type=int, default=None,
+                    help="override mem_per_task for rehearsal methods "
+                         "(the default 1024 exceeds the tiny h2h tasks)")
     a = ap.parse_args(argv)
 
     clone_src = os.path.join(a.clone, "src")
@@ -91,6 +94,9 @@ def main(argv=None):
     import methods.method as ref_methods
 
     method = ref_methods.parse(a.method_name)
+    if a.mem is not None and "mem_per_task" in getattr(
+            method, "static_hyperparams", {}):
+        method.static_hyperparams["mem_per_task"] = a.mem
     if a.method_name == "finetuning":
         # Head-to-head FINDING: the reference's Finetune defines no
         # `train` hook, so its framework path (framework_train.py:105)

@@ -1,39 +1,40 @@
 """quadprog shim for the reference clone. The real package (Goldfarb-
 Idnani dual QP C extension, ref:requirements.txt:51) is not installed;
 GEM imports it at module load (ref:src/methods/rehearsal/model/gem.py:12).
-``solve_qp`` delegates to scipy's QP-equivalent solve via a tiny active-set
-loop ONLY if actually called; the Finetune/EWC head-to-head never calls it.
+
+GEM's only call pattern is bounds-only (C == I, h = margin·1 —
+ref:gem.py:71-77), which is exactly the problem our native PDAS solver
+(native/qp.cpp, golden-tested three ways against the JAX implementation
+in clsurvey_tpu/ops/qp.py) solves exactly. Delegating means the
+reference's GEM head-to-head projects with the same arithmetic our GEM
+uses — any remaining trajectory difference is framework behavior, not
+solver noise.
 """
+
+import os
+import sys
 
 import numpy as np
 
+# .../{scripts/h2h,clsurvey_runs/refclone}/shims/quadprog.py -> repo root
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
-def solve_qp(G, a, C, b, meq=0):  # pragma: no cover - GEM-only path
-    """Minimize 1/2 x^T G x - a^T x  s.t.  C^T x >= b (quadprog's API).
+from clsurvey_tpu.ops import qp_native  # noqa: E402
 
-    Projected-gradient fallback, adequate for GEM's small dual problems;
-    raises if it fails to converge so a silent wrong answer can't leak
-    into a parity study.
-    """
+
+def solve_qp(G, a, C, b, meq=0):
+    """quadprog API: minimize 1/2 x^T G x - a^T x  s.t.  C^T x >= b."""
     G = np.asarray(G, float)
     a = np.asarray(a, float)
     C = np.asarray(C, float)
     b = np.asarray(b, float)
-    n = G.shape[0]
-    x = np.linalg.solve(G, a)
-    lr = 1.0 / max(np.linalg.norm(G, 2), 1e-12)
-    for _ in range(20000):
-        grad = G @ x - a
-        x = x - lr * grad
-        # project approximately onto {C^T x >= b} by clipping violations
-        viol = C.T @ x - b
-        bad = viol < -1e-12
-        if not bad.any():
-            continue
-        for j in np.where(bad)[0]:
-            cj = C[:, j]
-            x = x - (cj @ x - b[j]) / (cj @ cj) * cj
-    viol = C.T @ x - b
-    if (viol < -1e-6).any():
-        raise RuntimeError("quadprog shim failed to satisfy constraints")
-    return x, 0.5 * x @ G @ x - a @ x, None, None, None, None
+    n = a.shape[0]
+    if meq == 0 and C.shape == (n, n) and np.array_equal(C, np.eye(n)):
+        # bounds-only: exact PDAS solve (min 1/2 v'Pv - q'v, v >= lb)
+        x = qp_native.solve_bound_qp(G, a, b)
+        return x, 0.5 * x @ G @ x - a @ x, None, None, None, None
+    raise NotImplementedError(
+        "quadprog shim only supports GEM's bounds-only pattern (C == I)")

@@ -235,3 +235,32 @@ def test_runmode_overwrites():
     b.apply_runmode()
     assert b.lr_grid == (1e-2,) and b.boot_lr_grid == (1e-1,)
     assert b.num_epochs == 2 and b.finetune_iterations == 1
+
+
+def test_no_augment_flag_threads_to_engine():
+    """--no_augment (parity runs: the reference's framework path trains
+    un-flipped, ref:src/framework/main.py:163,197) must reach the engine
+    context through build_engine's manager.args gate."""
+    from types import SimpleNamespace
+
+    from clsurvey_tpu.framework.main import build_argparser
+    from clsurvey_tpu.methods.base import UpdateRule
+    from clsurvey_tpu.methods.common import build_engine
+    from clsurvey_tpu.models.registry import parse_model_name
+
+    ns = build_argparser().parse_args(
+        ["tiny_CNN_cl_32_32", "--no_augment"])
+    assert ns.augment is False
+    assert build_argparser().parse_args(["tiny_CNN_cl_32_32"]).augment
+
+    from clsurvey_tpu.data.registry import parse as parse_ds
+
+    seq = parse_ds("synthetic_2t_4c_32px")
+    spec = parse_model_name("/tmp/test_models", "tiny_CNN_cl_32_32",
+                            seq.input_size)
+    for flag in (True, False):
+        manager = SimpleNamespace(
+            dataset=seq, model_spec=spec, max_tasks=2,
+            args=SimpleNamespace(augment=flag, weight_decay=0.0))
+        engine = build_engine(manager, UpdateRule(), task_counter=1)
+        assert engine.ctx.augment is flag
