@@ -17,6 +17,14 @@ Patches (all regex-mechanical):
 - ``'cuda': True`` overwrite-dict entries -> False (rehearsal/packnet/
   HAT engines take a cuda flag instead of hardcoding).
 
+Plus ONE targeted behavioral fix (documented in docs/PARITY.md): the
+reference's wrap-first-task path (``skip_to_post`` in
+ref:src/framework/framework_train.py:226) never sets
+``manager.best_model_path``, so GEM/iCaRL task-1 poststep crashes with
+AttributeError in the pristine source (h2h-verified). The clone inserts
+the same path assignment ``stabilityDecay`` would have made, enabling
+the GEM h2h leg; it changes no trained values.
+
 Run: python scripts/h2h/prepare_clone.py [--dest clsurvey_runs/refclone]
 """
 
@@ -42,6 +50,31 @@ PATCHES = [
     (re.compile(r"pin_memory=True"), "pin_memory=False"),
     (re.compile(r"'cuda': True"), "'cuda': False"),
 ]
+
+
+# The wrap-first-task fix (see module docstring): insert the path setup
+# stabilityDecay would have made, right after skip_to_post is computed.
+WRAP_ANCHOR = ("    skip_to_post = args.wrap_first_task_model and "
+               "args.task_counter == 1")
+WRAP_FIX = """
+    if skip_to_post:  # H2H FIX: upstream never sets these on the wrap path
+        manager.heuristic_exp_dir = os.path.join(
+            manager.parent_exp_dir, 'task_1', 'TASK_TRAINING')
+        os.makedirs(manager.heuristic_exp_dir, exist_ok=True)
+        manager.best_model_path = os.path.join(
+            manager.heuristic_exp_dir, 'best_model.pth.tar')
+"""
+
+
+def apply_wrap_fix(text: str) -> str:
+    if "H2H FIX" in text:
+        return text
+    lines = text.split("\n")
+    for i, line in enumerate(lines):
+        if line.startswith(WRAP_ANCHOR):
+            lines.insert(i + 1, WRAP_FIX.strip("\n"))
+            return "\n".join(lines)
+    raise RuntimeError("wrap-fix anchor not found in framework_train.py")
 
 
 def patch_text(text: str) -> str:
@@ -71,6 +104,8 @@ def main(argv=None):
             with open(path) as f:
                 text = f.read()
             patched = patch_text(text)
+            if fname == "framework_train.py" and "framework" in dirpath:
+                patched = apply_wrap_fix(patched)
             if patched != text:
                 with open(path, "w") as f:
                     f.write(patched)
