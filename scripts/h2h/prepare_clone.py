@@ -20,10 +20,16 @@ Patches (all regex-mechanical):
 Plus ONE targeted behavioral fix (documented in docs/PARITY.md): the
 reference's wrap-first-task path (``skip_to_post`` in
 ref:src/framework/framework_train.py:226) never sets
-``manager.best_model_path``, so GEM/iCaRL task-1 poststep crashes with
-AttributeError in the pristine source (h2h-verified). The clone inserts
-the same path assignment ``stabilityDecay`` would have made, enabling
-the GEM h2h leg; it changes no trained values.
+``manager.best_model_path`` NOR ``args.lr`` — both are only assigned
+inside the skipped Phase-2 (``stabilityDecay``,
+ref:src/framework/framework_train.py:78) — so GEM/iCaRL task-1
+poststep crashes with AttributeError in the pristine source
+(h2h-verified, two distinct crashes). The clone inserts the same path
+assignment ``stabilityDecay`` would have made plus ``args.lr = 1e-3``
+(the rehearsal trainer's own default; the value is unused on this path
+— task-1 rehearsal runs postprocess-only, asserted at
+ref:src/methods/rehearsal/main_rehearsal.py:170), enabling the GEM
+h2h leg; it changes no trained values.
 
 Run: python scripts/h2h/prepare_clone.py [--dest clsurvey_runs/refclone]
 """
@@ -63,6 +69,7 @@ WRAP_FIX = """
         os.makedirs(manager.heuristic_exp_dir, exist_ok=True)
         manager.best_model_path = os.path.join(
             manager.heuristic_exp_dir, 'best_model.pth.tar')
+        args.lr = 1e-3  # unused: task-1 rehearsal is postprocess-only
 """
 
 
