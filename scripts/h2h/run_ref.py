@@ -47,6 +47,11 @@ def main(argv=None):
     clone_src = os.path.join(a.clone, "src")
     sys.path.insert(0, os.path.join(a.clone, "shims"))
     sys.path.insert(0, clone_src)
+    # the rehearsal trainer imports its GEM/iCaRL nets as a top-level
+    # `model` package (ref:src/methods/rehearsal/main_rehearsal.py:214)
+    # — resolvable only with methods/rehearsal on the path, as in the
+    # reference's own run environment
+    sys.path.insert(1, os.path.join(clone_src, "methods", "rehearsal"))
     os.chdir(clone_src)  # config.init paths resolve against src root
 
     # runs root: clone-local, survives reruns (resume machinery)
