@@ -286,6 +286,19 @@ def _analysis_lines():
         ]
     lines += [
         "",
+        "**GEM ours-side cells**: the reference GEM leg runs end-to-end "
+        "(after fixing its two wrap-path crashes in the clone — see "
+        "PARITY.md) and its rows above are the reference's recorded "
+        "behavior. Our GEM leg is reported where it completed: at the "
+        "h2h protocol (batch 20, 2 replayed past buffers per step) a "
+        "GEM step costs ~9x a finetuning step, which on this 1-core CPU "
+        "host paces ~5 min/epoch — the full 3-task grid does not fit "
+        "in a round. GEM cross-framework parity is instead pinned by "
+        "the 3-way QP golden tests (`tests/test_qp.py`, PDAS vs "
+        "brute-force vs reference semantics) and the TPU protocol soak "
+        "(10-task GEM: 100.00 acc / 0.00 forgetting, "
+        "docs/soak_gem_rerun.md).",
+        "",
         "**Method-level agreement** (what the survey actually claims): "
         "on both sides EWC retains more earlier-task accuracy than "
         "finetuning on the same sequence, and the hd150 hard mode "
