@@ -66,27 +66,29 @@ DEMO="--tasks 10 --classes 10 --epochs 12 --batch_size 100 --out docs/survey_dem
 # 1. Streaming-224 proof (coverage item 34): resumes the 4-epoch run
 #    whose task 1 is already trained; ~2 min/epoch contended.
 if [[ ! -f docs/streaming224.json ]]; then
-  run_item streaming224 4800 python scripts/demo_streaming_224.py --epochs 4
+  run_item streaming224 4200 python scripts/demo_streaming_224.py --epochs 4
 fi
 
-# 2. RecogSeq at-scale demo (coverage item 35).
-run_item recogseq 4500 python scripts/demo_recogseq_scale.py --epochs 8
-
-# 3. Survey-demo tail: the two rows the r3i queue never reached.
-run_item refresh_tail 3000 python scripts/run_survey_demo.py $DEMO \
-  --methods pathnet,finetuning_rehearsal_partial_mem
-
-# 4. Finisher for any cheap-block method r3i's cap cut (SUCCESS flags
-#    make already-refreshed methods near-free).
+# 2. Finisher for the cheap-block methods r3i's cap cut (SUCCESS flags
+#    make already-refreshed methods near-free) — VERDICT r2's #1 item is
+#    a truthful, complete survey-demo table.
 run_item refresh_cheap_finish 2400 python scripts/run_survey_demo.py $DEMO \
   --methods EWC,MAS,mean_IMM,mode_IMM,LWF,EBLL,ICARL,packnet,finetuning,finetuning_rehearsal_full_mem,joint
 
-# 5. Render the complete 16-row table.
-run_item demo_render 900 python scripts/run_survey_demo.py $DEMO --postprocess_only
+# 3. Survey-demo tail: the two rows the r3i queue never reached.
+run_item refresh_tail 2400 python scripts/run_survey_demo.py $DEMO \
+  --methods pathnet,finetuning_rehearsal_partial_mem
+
+# 4. Render the complete 16-row table.
+run_item demo_render 600 python scripts/run_survey_demo.py $DEMO --postprocess_only
+
+# 5. RecogSeq at-scale demo (coverage item 35; framework SUCCESS flags
+#    make a deadline-clamped partial run resumable next session).
+run_item recogseq 3600 python scripts/demo_recogseq_scale.py --epochs 8
 
 # 6. Streaming-vs-resident overlap micro-bench on the chip (Weak #4),
 #    in case r3i's deadline-clamped attempt was cut.
-run_item bench_streaming 1200 python scripts/bench_streaming.py
+run_item bench_streaming 900 python scripts/bench_streaming.py
 
 # 7. Distillation family at the hd200 protocol budget (Weak #7; same
 #    flags as the r3 core study so the row merges into docs/soak_hd200).
