@@ -100,18 +100,31 @@ def main(argv=None):
     chunk_rows = max(budget // 2 // row_bytes, 1)  # train_task's policy
     key = jax.random.PRNGKey(11)
 
-    # raw upload bandwidth: one budget-half chunk, contiguous, timed
+    def hbm_peak():
+        try:
+            ms = jax.local_devices()[0].memory_stats() or {}
+            return int(ms.get("peak_bytes_in_use", 0)) or None
+        except Exception:
+            return None
+
+    # raw upload bandwidth: a budget-half chunk, contiguous; min of
+    # several timed uploads (a single sample is noisy on an RPC tunnel),
+    # with the final partial chunk weighted by its actual row count
     chunk = np.ascontiguousarray(imgs_np[:chunk_rows])
     dev = jax.device_put(chunk)
     jax.block_until_ready(dev)  # warm the path
-    t0 = time.perf_counter()
-    dev = jax.device_put(chunk)
-    jax.block_until_ready(dev)
-    upload_secs_chunk = time.perf_counter() - t0
+    uploads = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        dev = jax.device_put(chunk)
+        jax.block_until_ready(dev)
+        uploads.append(time.perf_counter() - t0)
+    upload_secs_chunk = min(uploads)
     del dev
     upload_mbps = chunk.nbytes / 2 ** 20 / upload_secs_chunk
-    n_chunks = -(-a.n_stream // chunk_rows)
-    upload_secs_epoch = upload_secs_chunk * n_chunks
+    full_chunks, last_rows = divmod(a.n_stream, chunk_rows)
+    upload_secs_epoch = upload_secs_chunk * (
+        full_chunks + last_rows / chunk_rows)
 
     # streaming epochs (first = compile warmup, not timed)
     def stream_epoch(e):
@@ -128,6 +141,7 @@ def main(argv=None):
     stream_epoch.state = state
     stream_epoch(0)
     stream_secs = min(stream_epoch(e + 1) for e in range(a.epochs))
+    stream_hbm_peak = hbm_peak()
 
     # resident comparison: same step, split fits in HBM
     res_imgs = jnp.asarray(imgs_np[: a.n_res])
@@ -157,9 +171,11 @@ def main(argv=None):
         "stream_epoch_secs": round(stream_secs, 2),
         "stream_imgs_per_sec": round(a.n_stream / stream_secs, 1),
         "overlap_efficiency": round(upload_secs_epoch / stream_secs, 3),
+        "stream_hbm_peak_bytes": stream_hbm_peak,
         "resident_rows": a.n_res,
         "resident_epoch_secs": round(res_secs, 2),
         "resident_imgs_per_sec": round(a.n_res / res_secs, 1),
+        "resident_hbm_peak_bytes": hbm_peak(),
         "note": "overlap_efficiency ~1.0 = gather+compute fully hidden "
                 "behind the transfer; absolute stream img/s is "
                 "tunnel-bandwidth-bound on this dev host",

@@ -42,6 +42,13 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=20)
     ap.add_argument("--lr_grid", default="1e-2,5e-3,1e-3")
     ap.add_argument("--max_attempts", type=int, default=5)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the default backend (the real chip) "
+                         "instead of forcing CPU — behavioral parity "
+                         "does not care which device ours runs on, and "
+                         "each leg is minutes on the chip vs ~40 min "
+                         "niced on the 1-core host (serialize with the "
+                         "TPU queue!)")
     a = ap.parse_args(argv)
 
     results = os.path.join(REPO, a.root, "results")
@@ -52,9 +59,10 @@ def main(argv=None):
     os.environ["CLSURVEY_MODELS_ROOT_PATH"] = os.path.join(
         REPO, a.root, "models")
 
-    import jax
+    if not a.tpu:
+        import jax
 
-    jax.config.update("jax_platforms", "cpu")  # never touch the chip
+        jax.config.update("jax_platforms", "cpu")  # never touch the chip
 
     from clsurvey_tpu.framework.common import RunArgs
     from clsurvey_tpu.framework.main import main as run_main

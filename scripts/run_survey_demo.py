@@ -66,7 +66,7 @@ EPOCHS_OVERRIDE = {"HAT": 60, "pathnet": 30}
 def run_all(ds_name: str, epochs: int, batch_size: int,
             only=None, max_attempts: int = 3,
             lr_grid=(5e-2, 1e-2), boot_lr_grid=None, hp_overrides=None,
-            shp_overrides=None):
+            shp_overrides=None, seed: int = 7, epochs_overrides=None):
     # Import every module the sweep will need up-front — including the
     # lazily-imported eval/postprocessing path — so code committed to the
     # repo mid-run can never be mixed into this process (a stale-paths /
@@ -81,7 +81,11 @@ def run_all(ds_name: str, epochs: int, batch_size: int,
     common = dict(model_name=MODEL, ds_name=ds_name, num_epochs=epochs,
                   batch_size=batch_size, lr_grid=tuple(lr_grid),
                   boot_lr_grid=tuple(boot_lr_grid) if boot_lr_grid else None,
-                  gridsearch_name=GRID, max_attempts_per_task=max_attempts)
+                  gridsearch_name=GRID, max_attempts_per_task=max_attempts,
+                  seed=seed)
+    epoch_over = dict(EPOCHS_OVERRIDE)
+    if epochs_overrides:
+        epoch_over.update(epochs_overrides)
 
     t0 = time.time()
     print("== first-task base model (SI dump) ==", flush=True)
@@ -96,11 +100,11 @@ def run_all(ds_name: str, epochs: int, batch_size: int,
         t1 = time.time()
         try:
             kw = dict(common)
-            if name in EPOCHS_OVERRIDE:
+            if name in epoch_over:
                 # overrides RAISE the budget for the patience-controller
                 # methods at demo scale; at protocol scale (>= the
                 # override) every method gets the shared epoch budget
-                kw["num_epochs"] = max(EPOCHS_OVERRIDE[name], epochs)
+                kw["num_epochs"] = max(int(epoch_over[name]), epochs)
             if hp_overrides and name in hp_overrides:
                 hp = hp_overrides[name]
             if shp_overrides and name in shp_overrides:
@@ -154,25 +158,77 @@ def postprocess(ds_name: str, out_base: str, epochs: int | None = None):
     return entries, summary
 
 
+def _merge_rows(entries, out_base: str):
+    """Fold the rows found in the CURRENT results tree into the persistent
+    per-method row store (``<out>_rows.json``).
+
+    A partial refresh (one method re-run, or a sweep cut by a cap) must
+    never truncate the flagship table to whatever happens to be on disk
+    at HEAD — it merges into the store, and the markdown renders the
+    store. Rows record the commit + timestamp they were produced at so a
+    reader can tell fresh rows from carried ones (VERDICT r3 Weak #1)."""
+    import subprocess
+    rows_path = out_base + "_rows.json"
+    rows = {}
+    if os.path.exists(rows_path):
+        with open(rows_path) as f:
+            rows = json.load(f)
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=os.path.dirname(os.path.abspath(__file__))
+        ).stdout.strip()
+    except Exception:
+        head = ""
+    stamp = time.strftime("%Y-%m-%d")
+    for e in entries:
+        rows[e.eval_name] = {
+            "exp": e.exp_name, "avg_acc": round(e.avg_acc, 2),
+            "avg_forgetting": (None if e.single_dot
+                               else round(e.avg_forgetting, 2)),
+            "commit": head, "date": stamp,
+        }
+    with open(rows_path, "w") as f:
+        json.dump(rows, f, indent=1)
+    return rows, {e.eval_name for e in entries}
+
+
 def _write_markdown(entries, out_base: str, ds_name: str = "",
                     epochs: int | None = None):
-    """Render the summary as a Markdown results table next to the figs."""
+    """Render the merged row store as a Markdown results table.
+
+    Rows whose artifacts are present in the current results tree are
+    rendered plain; rows carried from the store (artifacts not on disk
+    right now) are marked so the table never silently truncates NOR
+    silently passes off stale rows as fresh. A hand-written
+    ``<out>_notes.md`` (if present) is appended verbatim below the table
+    so curated per-method explanations survive regeneration."""
+    rows, fresh = _merge_rows(entries, out_base)
     budget = f", {epochs} epochs/task" if epochs else ""
     title = (f"# Survey sweep — `{ds_name}`{budget}, full two-phase "
              "framework + eval matrix" if ds_name else
              "# Survey demo — all methods through the full pipeline")
     lines = [
         title, "",
-        "| method | exp | avg acc (final model) | avg forgetting |",
-        "|---|---|---|---|",
+        "| method | exp | avg acc (final model) | avg forgetting | "
+        "produced at |",
+        "|---|---|---|---|---|",
     ]
-    for e in sorted(entries, key=lambda e: -e.avg_acc):
-        forg = "n/a" if e.single_dot else f"{e.avg_forgetting:.2f}"
-        lines.append(f"| {e.eval_name} | {e.exp_name} | "
-                     f"{e.avg_acc:.2f} | {forg} |")
+    for name_, r in sorted(rows.items(), key=lambda kv: -kv[1]["avg_acc"]):
+        forg = ("n/a" if r["avg_forgetting"] is None
+                else f"{r['avg_forgetting']:.2f}")
+        src = f"`{r['commit']}` {r['date']}" if r.get("commit") else "—"
+        if name_ not in fresh:
+            src += " (carried)"
+        lines.append(f"| {name_} | {r['exp']} | "
+                     f"{r['avg_acc']:.2f} | {forg} | {src} |")
     name = os.path.basename(out_base)
     lines += ["", f"![accuracy curves]({name}_acc.png)", "",
               f"![forgetting curves]({name}_forgetting.png)", ""]
+    notes_path = out_base + "_notes.md"
+    if os.path.exists(notes_path):
+        with open(notes_path) as f:
+            lines += ["", f.read().rstrip(), ""]
     with open(out_base + ".md", "w") as f:
         f.write("\n".join(lines))
 
@@ -197,6 +253,15 @@ def main(argv=None):
                     help="per-method static-hyperparam override, "
                          "e.g. GEM=1024 (protocol memory size)")
     ap.add_argument("--out", default="docs/survey_demo")
+    ap.add_argument("--seed", type=int, default=7,
+                    help="training seed (results trees for different "
+                         "seeds should use different --grid names)")
+    ap.add_argument("--grid", default=None,
+                    help="gridsearch name (default survey_demo); use a "
+                         "distinct name per seed to keep trees apart")
+    ap.add_argument("--epochs_override", action="append", default=[],
+                    help="per-method epoch override, e.g. HAT=150 "
+                         "(defaults: HAT=60, pathnet=30)")
     ap.add_argument("--methods", default=None,
                     help="comma-separated subset")
     ap.add_argument("--model", default=None,
@@ -209,6 +274,9 @@ def main(argv=None):
     if a.model:
         global MODEL
         MODEL = a.model
+    if a.grid:
+        global GRID
+        GRID = a.grid
     ds_name = f"synthetic_{a.tasks}t_{a.classes}c_{a.px}px"
     if a.n:
         ds_name += f"_{a.n}n"
@@ -224,7 +292,10 @@ def main(argv=None):
             lr_grid=tuple(float(x) for x in a.lr_grid.split(",")),
             boot_lr_grid=tuple(float(x) for x in a.boot_lr_grid.split(","))
             if a.boot_lr_grid else None,
-            hp_overrides=hp_overrides, shp_overrides=shp_overrides)
+            hp_overrides=hp_overrides, shp_overrides=shp_overrides,
+            seed=a.seed,
+            epochs_overrides=dict(s.split("=", 1)
+                                  for s in a.epochs_override))
         print(json.dumps(statuses, indent=1))
         status_path = a.out + "_status.json"
         if only and os.path.isfile(status_path):

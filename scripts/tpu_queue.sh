@@ -1,0 +1,52 @@
+#!/bin/bash
+# Parameterized serialized TPU queue runner (replaces the ten one-shot
+# tpu_queue_r3*.sh scripts — VERDICT r3 #8 / ADVICE consolidation).
+#
+# Usage: bash scripts/tpu_queue.sh <deadline_epoch> <queue_file> [wait_pid]
+#
+# queue_file lines:   <name>|<cap_secs>|<shell command>
+#   - consumed strictly in order; the file MAY BE APPENDED while the
+#     queue runs (new work without restarting the runner)
+#   - blank lines / leading-# comments are skipped
+#   - a line consisting of "END" terminates the queue when reached;
+#     until then an exhausted file polls for appended items
+#
+# Caps are budgeted off measured-CONTENDED costs (2-2.5x uncontended —
+# CLAUDE.md queue-cap sizing lesson); prefer many small items, each of
+# which merges its artifact on partial completion.
+set -u
+cd /root/repo
+DEADLINE=${1:?pass absolute deadline epoch}
+QFILE=${2:?pass queue file}
+WAITPID=${3:-}
+QTAG=$(basename "$QFILE" .queue)
+QLOG=clsurvey_runs/logs/${QTAG}.jsonl
+source scripts/tpu_queue_lib.sh
+IDX_FILE=$LOGDIR/${QTAG}.idx
+[[ -f "$IDX_FILE" ]] || echo 0 > "$IDX_FILE"
+
+if [[ -n "$WAITPID" ]]; then
+  while kill -0 "$WAITPID" 2>/dev/null; do sleep 30; done
+fi
+
+while :; do
+  if (( $(date +%s) + 300 >= DEADLINE )); then
+    echo "{\"item\": \"_queue\", \"status\": \"deadline\", \"t\": $(date +%s)}" >> "$QLOG"
+    break
+  fi
+  idx=$(cat "$IDX_FILE")
+  total=$(wc -l < "$QFILE")
+  if (( idx >= total )); then
+    sleep 60
+    continue
+  fi
+  line=$(sed -n "$((idx + 1))p" "$QFILE")
+  echo $((idx + 1)) > "$IDX_FILE"
+  [[ "$line" == "END" ]] && {
+    echo "{\"item\": \"_queue\", \"status\": \"complete\", \"t\": $(date +%s)}" >> "$QLOG"
+    break
+  }
+  [[ -z "$line" || "$line" == \#* ]] && continue
+  name=${line%%|*}; rest=${line#*|}; cap=${rest%%|*}; cmd=${rest#*|}
+  run_item "$name" "$cap" bash -c "$cmd"
+done

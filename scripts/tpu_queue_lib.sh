@@ -1,0 +1,59 @@
+# Shared helpers for the serialized TPU queues (sourced, not executed).
+#
+# The chip admits ONE process at a time (CLAUDE.md: a second process
+# stalls ~4 min then dies), so all TPU work runs through run_item:
+# relay health-gate -> capped run -> docs commit -> 180 s tunnel-release
+# gap. Callers must set DEADLINE (absolute epoch) and QLOG (jsonl path)
+# before sourcing; QTAG names the per-item logs.
+
+LOGDIR=clsurvey_runs/logs
+mkdir -p "$LOGDIR"
+
+# The axon relay pumps local port 8082 to the external orchestrator and
+# cannot be restarted from inside the VM — gate every item on a live
+# port + a tiny jax probe (r2: the relay died mid-round and every new
+# client stalled forever in connect backoff).
+relay_ok() {
+  ss -ltn 2>/dev/null | grep -q ':8082 ' || return 1
+  timeout 180 python -c 'import jax; jax.devices()' >/dev/null 2>&1
+}
+
+commit_docs() {
+  git add docs/ 2>/dev/null || return 0
+  git diff --cached --quiet 2>/dev/null && return 0
+  git commit -q -m "TPU queue artifact: $1
+
+No-Verification-Needed: run-artifact/docs-only commit from the serialized TPU queue" \
+    2>/dev/null || true
+}
+
+run_item() {  # name cap_secs cmd...
+  local name="$1" cap="$2"; shift 2
+  local now; now=$(date +%s)
+  if (( now + 300 >= DEADLINE )); then
+    echo "{\"item\": \"$name\", \"status\": \"skipped_deadline\", \"t\": $now}" >> "$QLOG"
+    return 1
+  fi
+  for _ in 1 2 3 4 5 6; do relay_ok && break || sleep 300; done
+  if ! relay_ok; then
+    echo "{\"item\": \"$name\", \"status\": \"relay_down\", \"t\": $(date +%s)}" >> "$QLOG"
+    return 1
+  fi
+  # Recompute the remaining budget AFTER the relay wait (it can sleep up
+  # to ~25 min): an item started late must still respect the deadline —
+  # the driver gets the chip back no matter what (ADVICE r3).
+  now=$(date +%s)
+  if (( now + 300 >= DEADLINE )); then
+    echo "{\"item\": \"$name\", \"status\": \"skipped_deadline\", \"t\": $now}" >> "$QLOG"
+    return 1
+  fi
+  local remain=$(( DEADLINE - now - 240 ))
+  (( cap > remain )) && cap=$remain
+  echo "{\"item\": \"$name\", \"status\": \"start\", \"t\": $now, \"cap\": $cap}" >> "$QLOG"
+  timeout "$cap" "$@" > "$LOGDIR/${QTAG}_${name}.log" 2>&1
+  local rc=$?
+  echo "{\"item\": \"$name\", \"status\": \"done\", \"rc\": $rc, \"t\": $(date +%s)}" >> "$QLOG"
+  commit_docs "$name"
+  sleep 180
+  return 0
+}
