@@ -49,6 +49,22 @@ def vgg_train_flops_per_img(cfg_name: str, classifier_dims, px: int,
     return 3.0 * flops
 
 
+def alexnet_train_flops_per_img(n_classes: int = 25) -> float:
+    """Analytic fwd+bwd FLOPs per 224px image for AlexNetBackbone
+    (models/backbones.py conv/fc dims; 2*H*W*k^2*Cin*Cout per conv
+    forward, x3 for training)."""
+    convs = [  # (out_hw, k, cin, cout) after each stage at 224px input
+        (55, 11, 3, 64), (27, 5, 64, 192), (13, 3, 192, 384),
+        (13, 3, 384, 256), (13, 3, 256, 256)]
+    flops = sum(2.0 * hw * hw * k * k * cin * cout
+                for hw, k, cin, cout in convs)
+    feat = 6 * 6 * 256
+    for d in (4096, 4096, n_classes):
+        flops += 2.0 * feat * d
+        feat = d
+    return 3.0 * flops
+
+
 def main():
     from clsurvey_tpu.engine.train import (
         Engine, TrainState, make_context, tree_zeros_like)
@@ -137,6 +153,18 @@ def main():
     flops_img = vgg_train_flops_per_img("small_VGG9", (128, 128), 64, 20)
     extras["mfu_pct"] = round(
         100.0 * imgs_per_sec * flops_img / (V5E_BF16_PEAK_TFLOPS * 1e12), 2)
+    # per-workload MFU (VERDICT r3 #7): the flagship mfu_pct is the 64px
+    # small-VGG number — the 224px AlexNet convs tile the MXU far better,
+    # and the GEM step's replayed memory grads are real FLOPs the img/s
+    # headline hides (each step sweeps 4 past buffers of 1024 exemplars
+    # on top of the bs=200 current batch).
+    extras["alexnet224_mfu_pct"] = round(
+        100.0 * extras["alexnet224_imgs_per_sec"]
+        * alexnet_train_flops_per_img() / (V5E_BF16_PEAK_TFLOPS * 1e12), 2)
+    gem_flops_per_counted_img = flops_img * (200 + 4 * 1024) / 200
+    extras["gem_mfu_pct"] = round(
+        100.0 * extras["gem_step_imgs_per_sec"]
+        * gem_flops_per_counted_img / (V5E_BF16_PEAK_TFLOPS * 1e12), 2)
     from clsurvey_tpu.ops import pool_pallas
     extras["pallas_pool"] = pool_pallas.use_pallas_pool()
     print(json.dumps({

@@ -47,7 +47,12 @@ from clsurvey_tpu.utils.paths import (
 # healthy losses are O(ln n_classes + reg terms) — orders of magnitude
 # below — while a finite-but-exploded epoch is just the step before the
 # NaN and must never be recorded as a best model.
-DIVERGENCE_LOSS_BOUND = 1e6
+# Finite-divergence containment bound (see the abort in train_task):
+# overridable for controlled A/Bs — CLSURVEY_DIVERGENCE_BOUND=inf restores
+# the r1 NaN-only abort behavior (used to attribute the SI demo-table
+# change between r1 and the r3 refresh, docs/survey_demo_notes.md).
+DIVERGENCE_LOSS_BOUND = float(
+    os.environ.get("CLSURVEY_DIVERGENCE_BOUND", "1e6"))
 
 
 @flax.struct.dataclass

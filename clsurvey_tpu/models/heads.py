@@ -16,21 +16,51 @@ SURVEY §7 hard-part 3."""
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 NEG_INF = -1e10
 
+# Per-task head init scheme (CLSURVEY_HEAD_INIT):
+#   "torch_default" — the reference's ACTUAL replaced-head init: every
+#     task training swaps in a fresh ``nn.Linear(num_ftrs, out_dim)``
+#     (ref:src/utilities/utils.py:68-71, ref:src/methods/Finetune/
+#     main_SGD.py:59-63), whose torch default is kaiming_uniform(a=√5)
+#     weights = U(±√(1/fan_in)) and bias U(±1/√fan_in) — NOT the
+#     N(0, 0.01) of torchvision VGG's `_initialize_weights` (that only
+#     touches the init-time classifier, which is always replaced).
+#   "legacy" — 0.01·N(0,1) weights, zero bias: what this package shipped
+#     through r3 (mis-citing the replace semantics). ~5× smaller warmup
+#     signal; root cause of the h2h diagonal convergence gap (the ref
+#     hits 100.0 on just-trained tasks at 10 epochs, ours stalled at
+#     55-75 — docs/ref_head_to_head.md, shared-init study).
+# Default stays "legacy" for round-4 artifact continuity (the protocol
+# tables were produced with it and mixed-init rows are not comparable);
+# flip to "torch_default" alongside a wholesale table regeneration.
+HEAD_INIT_SCHEME = os.environ.get("CLSURVEY_HEAD_INIT", "legacy")
+
 
 def init_head_bank(key, max_tasks: int, feat_dim: int, num_classes: int,
-                   class_counts=None) -> dict:
+                   class_counts=None, scheme: str | None = None) -> dict:
     """Create the bank. ``class_counts[t]`` = real #classes of task t
     (defaults to all = num_classes)."""
-    kkey, _ = jax.random.split(key)
-    kernel = 0.01 * jax.random.normal(
-        kkey, (max_tasks, feat_dim, num_classes), dtype=jnp.float32)
-    bias = jnp.zeros((max_tasks, num_classes), dtype=jnp.float32)
+    scheme = scheme or HEAD_INIT_SCHEME
+    if scheme == "torch_default":
+        kkey, bkey = jax.random.split(key)
+        bound = float(np.sqrt(1.0 / feat_dim))
+        kernel = jax.random.uniform(
+            kkey, (max_tasks, feat_dim, num_classes), jnp.float32,
+            -bound, bound)
+        bias = jax.random.uniform(
+            bkey, (max_tasks, num_classes), jnp.float32, -bound, bound)
+    else:
+        kkey, _ = jax.random.split(key)
+        kernel = 0.01 * jax.random.normal(
+            kkey, (max_tasks, feat_dim, num_classes), dtype=jnp.float32)
+        bias = jnp.zeros((max_tasks, num_classes), dtype=jnp.float32)
     if class_counts is None:
         class_counts = [num_classes] * max_tasks
     return {
@@ -41,10 +71,21 @@ def init_head_bank(key, max_tasks: int, feat_dim: int, num_classes: int,
     }
 
 
-def reinit_head(bank: dict, task: int, key) -> dict:
+def reinit_head(bank: dict, task: int, key, scheme: str | None = None) -> dict:
     """Fresh-init one task's head (new task starts with a new random head,
     matching the reference's replace-last-classifier-layer semantics,
-    ref:src/methods/Finetune/main_SGD.py:50-70)."""
+    ref:src/methods/Finetune/main_SGD.py:50-70; see HEAD_INIT_SCHEME for
+    the draw distribution)."""
+    scheme = scheme or HEAD_INIT_SCHEME
+    if scheme == "torch_default":
+        kkey, bkey = jax.random.split(key)
+        feat_dim = bank["kernel"].shape[1]
+        bound = float(np.sqrt(1.0 / feat_dim))
+        kernel = bank["kernel"].at[task].set(jax.random.uniform(
+            kkey, bank["kernel"].shape[1:], jnp.float32, -bound, bound))
+        bias = bank["bias"].at[task].set(jax.random.uniform(
+            bkey, bank["bias"].shape[1:], jnp.float32, -bound, bound))
+        return {**bank, "kernel": kernel, "bias": bias}
     kernel = bank["kernel"].at[task].set(
         0.01 * jax.random.normal(key, bank["kernel"].shape[1:], jnp.float32))
     bias = bank["bias"].at[task].set(jnp.zeros(bank["bias"].shape[1:]))

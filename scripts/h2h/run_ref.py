@@ -42,6 +42,10 @@ def main(argv=None):
     ap.add_argument("--mem", type=int, default=None,
                     help="override mem_per_task for rehearsal methods "
                          "(the default 1024 exceeds the tiny h2h tasks)")
+    ap.add_argument("--runs", default=None,
+                    help="override the clone runs root (default "
+                         "<clone>/runs) — e.g. a fresh root seeded by "
+                         "share_init.py for shared-init legs")
     a = ap.parse_args(argv)
 
     clone_src = os.path.join(a.clone, "src")
@@ -56,7 +60,8 @@ def main(argv=None):
 
     # runs root: clone-local, survives reruns (resume machinery)
     cfg = os.path.join(clone_src, "config.init")
-    runs = os.path.join(a.clone, "runs")
+    runs = os.path.abspath(a.runs) if a.runs else os.path.join(
+        a.clone, "runs")
     for sub in ("train", "test", "models", "datasets"):
         os.makedirs(os.path.join(runs, sub), exist_ok=True)
     with open(cfg, "w") as f:
