@@ -167,6 +167,27 @@ class SyntheticSequence(TaskSequence):
         self._seed = seed
         self._cache: dict[int, TaskData] = {}
 
+    # In-memory task cache budget. Unbounded caching OOM-killed the r4
+    # RecogSeq-scale run: 8 tasks x 224px x up-to-200 classes is >100 GB
+    # of uint8 host arrays if every generated task stays referenced.
+    # Insertion-order eviction when over budget; evicted tasks reload
+    # from the npz disk cache (if enabled) or regenerate.
+    _MEM_BUDGET_BYTES = int(float(os.environ.get(
+        "CLSURVEY_SYNTH_MEM_BUDGET_MB", "16384")) * 2 ** 20)
+
+    @staticmethod
+    def _td_nbytes(td: "TaskData") -> int:
+        return sum(s.images.nbytes + s.labels.nbytes
+                   for s in (td.train, td.val, td.test))
+
+    def _cache_put(self, task: int, td: "TaskData") -> None:
+        self._cache[task] = td
+        total = sum(self._td_nbytes(v) for v in self._cache.values())
+        for t in list(self._cache):
+            if total <= self._MEM_BUDGET_BYTES or t == task:
+                continue
+            total -= self._td_nbytes(self._cache.pop(t))
+
     def get_task_dataset(self, task: int) -> TaskData:
         if task in self._cache:
             return self._cache[task]
@@ -179,7 +200,7 @@ class SyntheticSequence(TaskSequence):
                 SplitData(z["va_x"], z["va_y"]),
                 SplitData(z["te_x"], z["te_y"]),
                 classes=[str(c) for c in z["classes"]])
-            self._cache[task] = td
+            self._cache_put(task, td)
             return td
         td = self._generate(task)
         if disk is not None:
@@ -189,7 +210,7 @@ class SyntheticSequence(TaskSequence):
                      te_x=td.test.images, te_y=td.test.labels,
                      classes=np.asarray(td.classes))
             os.replace(tmp, disk)  # atomic: concurrent runs see all/none
-        self._cache[task] = td
+        self._cache_put(task, td)
         return td
 
     def _disk_cache_path(self, task: int) -> str | None:

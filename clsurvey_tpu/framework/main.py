@@ -206,6 +206,8 @@ def main(args: RunArgs):
                     hyperparam.framework_single_task(args, manager)
             ds_paths.append(task_counter)
             model_paths.append(manager.previous_task_model_path)
+            print(f"[task {task_counter}] host RSS "
+                  f"{timing.host_rss_gib():.2f} GiB", flush=True)
         except RuntimeError as e:  # resumable: rerun continues mid-sequence
             print("ERROR:", e)
             traceback.print_exc()

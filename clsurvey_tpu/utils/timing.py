@@ -65,8 +65,23 @@ def save_preprocessing_time(exp_dir: str, seconds: float) -> None:
     io.save({"preprocess_time": seconds}, f"{exp_dir}/{PREPROCESS_TIME_FILENAME}")
 
 
+def host_rss_gib() -> float:
+    """Process anon RSS in GiB (no psutil in the image — /proc direct).
+    Diagnostic for host-side buffer accumulation: the r4 RecogSeq-scale
+    run was OOM-killed at 130 GB RSS after four 224px tasks."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 2**20
+    except OSError:
+        pass
+    return float("nan")
+
+
 def print_stats() -> None:
     """Max-memory summary at run end (ref:src/utilities/utils.py:113-124)."""
     for dev, mem in device_memory_stats().items():
         peak_gb = mem["peak_bytes_in_use"] / 2**30
         print(f"{dev}: peak HBM {peak_gb:.3f} GiB")
+    print(f"host RSS {host_rss_gib():.2f} GiB")

@@ -59,6 +59,15 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    # 224px task generation costs minutes of single-core numpy and the
+    # bounded in-memory cache (CLSURVEY_SYNTH_MEM_BUDGET_MB) evicts big
+    # tasks — persist them to npz so revisits (resume, eval matrix)
+    # reload instead of regenerating (~18 GB for the full sequence).
+    os.environ.setdefault(
+        "CLSURVEY_SYNTH_CACHE",
+        os.path.join(os.environ.get("CLSURVEY_ROOT", os.path.join(
+            os.getcwd(), "clsurvey_runs")), "synth_cache"))
+
     from clsurvey_tpu.framework.common import RunArgs
     from clsurvey_tpu.framework.main import main as run_main
     from clsurvey_tpu.utils import io, paths as paths_lib
@@ -73,6 +82,30 @@ def main(argv=None):
     methods = [m for m in a.methods.split(",") if m]
     t0 = time.time()
     statuses: dict = {}
+    # merge into any prior (partial) artifact: a cap-cut run must leave
+    # whatever completed on disk, and a resume must not erase it
+    if os.path.isfile(a.out):
+        try:
+            with open(a.out) as f:
+                statuses.update(json.load(f).get("methods", {}))
+        except Exception:
+            pass
+
+    def _write_artifact():
+        result = {
+            "ds": ds_name,
+            "class_counts": [int(x) for x in CLASS_COUNTS.split("-")],
+            "epochs": a.epochs, "lr_grid": list(lr_grid),
+            "streamed_tasks": [t for t, c in zip(
+                TASK_NAMES, CLASS_COUNTS.split("-"))
+                if int(c) * a.n * 224 * 224 * 3 > 2048 * 2 ** 20],
+            "methods": statuses,
+            "total_secs": round(time.time() - t0),
+        }
+        os.makedirs(os.path.dirname(a.out) or ".", exist_ok=True)
+        with open(a.out, "w") as f:
+            json.dump(result, f, indent=1)
+        return result
     if any(m not in ("finetuning", "joint") for m in methods):
         print("== first-task base model (SI dump) ==", flush=True)
         run_main(RunArgs(method_name="SI",
@@ -100,21 +133,9 @@ def main(argv=None):
             traceback.print_exc()
             statuses[name] = {"ok": False, "error": str(e),
                               "secs": round(time.time() - t1)}
+        _write_artifact()
 
-    result = {
-        "ds": ds_name,
-        "class_counts": [int(x) for x in CLASS_COUNTS.split("-")],
-        "epochs": a.epochs, "lr_grid": list(lr_grid),
-        "streamed_tasks": [t for t, c in zip(
-            TASK_NAMES, CLASS_COUNTS.split("-"))
-            if int(c) * a.n * 224 * 224 * 3 > 2048 * 2 ** 20],
-        "methods": statuses,
-        "total_secs": round(time.time() - t0),
-    }
-    os.makedirs(os.path.dirname(a.out) or ".", exist_ok=True)
-    with open(a.out, "w") as f:
-        json.dump(result, f, indent=1)
-    print(json.dumps(result, indent=1))
+    print(json.dumps(_write_artifact(), indent=1))
 
 
 if __name__ == "__main__":
