@@ -413,6 +413,28 @@ def _analysis_lines(s_all, s_sep, s_shared):
         "frameworks within ~9-12 pts mean |Δ| with no 100-vs-chance "
         "cells.",
     ]
+    if s_shared:
+        lines += [
+            "",
+            "**What the shared-init control shows.** With the backbone "
+            "draw shared and the head distribution matched, finetuning "
+            "reaches **full just-trained-diagonal parity** — both "
+            "frameworks score 100.0 on every diagonal cell and the "
+            "remaining deltas are off-diagonal forgetting noise (see "
+            "the finetuning stats above). EWC's Phase-1 grids become "
+            "IDENTICAL on the first shared task (1.0000 in every cell "
+            "on both sides — same backbone, same landscape), isolating "
+            "the residual difference to Phase 2: both sides' "
+            "lambda-decay attempts diverge at high lambda on this tiny "
+            "set, but they recover at different lambdas and the loser "
+            "retains a collapsed model. The Fisher estimator itself is "
+            "golden-pinned against a torch transcription of the "
+            "reference's `diag_fisher` on identical weights/data/"
+            "batching (tests/test_fisher_torch_parity.py), so the "
+            "remaining divergence rides the last unshared randomness: "
+            "the task-1 head draws that sit inside the Fisher model, "
+            "amplified by the protocol's bimodality.",
+        ]
     ctrl_path = os.path.join(REPO, "docs", "h2h_seed_control.json")
     if os.path.exists(ctrl_path):
         c = json.load(open(ctrl_path))

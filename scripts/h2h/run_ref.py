@@ -49,6 +49,8 @@ def main(argv=None):
     a = ap.parse_args(argv)
 
     clone_src = os.path.join(a.clone, "src")
+    if a.runs:  # resolve BEFORE the chdir below, or relative paths nest
+        a.runs = os.path.abspath(a.runs)
     sys.path.insert(0, os.path.join(a.clone, "shims"))
     sys.path.insert(0, clone_src)
     # the rehearsal trainer imports its GEM/iCaRL nets as a top-level
