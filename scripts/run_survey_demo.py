@@ -142,19 +142,32 @@ def postprocess(ds_name: str, out_base: str, epochs: int | None = None):
         post.collect_hyperparams(e, method_name, hyperparams_counts=counts)
     post.pad_hyperparams(entries, counts)
     os.makedirs(os.path.dirname(out_base) or ".", exist_ok=True)
-    # render onto the canonical names: the library never overwrites a
-    # figure (reference parity, _versioned), but the docs link the
-    # unsuffixed files — refresh those instead of accreting _vN copies
-    for fig in (out_base + "_acc.png", out_base + "_forgetting.png"):
-        if os.path.exists(fig):
-            os.unlink(fig)
-    summary = post.analyze_experiments(
-        entries, plot_seq_acc=True, plot_seq_forgetting=True,
-        save_img_path=out_base, all_diff_color_force=False)
-    hp_table = post.print_hyperparam_table(entries)
-    with open(out_base + "_summary.txt", "w") as f:
-        f.write(summary + "\n\n" + hp_table + "\n")
-    _write_markdown(entries, out_base, ds_name, epochs)
+    rows, fresh = _merge_rows(entries, out_base)
+    # Figures and the summary text can only be regenerated from artifacts
+    # in the CURRENT results tree — carried rows' curves are gone with the
+    # runtime state. Overwriting the canonical figure/summary with a
+    # subset would destroy committed evidence (the r3 truncation disease,
+    # in the side files), so the canonical names update only when the
+    # fresh set covers every method in the row store; a partial refresh
+    # renders to *_latestrun.* and an empty tree touches nothing.
+    summary = "(no run artifacts in the current results tree; " \
+              "table rendered from the row store)"
+    if entries:
+        covers_all = fresh >= set(rows)
+        base = out_base if covers_all else out_base + "_latestrun"
+        # render onto the chosen names: the library never overwrites a
+        # figure (reference parity, _versioned), but the docs link the
+        # unsuffixed files — refresh those instead of accreting _vN copies
+        for fig in (base + "_acc.png", base + "_forgetting.png"):
+            if os.path.exists(fig):
+                os.unlink(fig)
+        summary = post.analyze_experiments(
+            entries, plot_seq_acc=True, plot_seq_forgetting=True,
+            save_img_path=base, all_diff_color_force=False)
+        hp_table = post.print_hyperparam_table(entries)
+        with open(base + "_summary.txt", "w") as f:
+            f.write(summary + "\n\n" + hp_table + "\n")
+    _write_markdown(rows, fresh, out_base, ds_name, epochs)
     return entries, summary
 
 
@@ -193,7 +206,7 @@ def _merge_rows(entries, out_base: str):
     return rows, {e.eval_name for e in entries}
 
 
-def _write_markdown(entries, out_base: str, ds_name: str = "",
+def _write_markdown(rows, fresh, out_base: str, ds_name: str = "",
                     epochs: int | None = None):
     """Render the merged row store as a Markdown results table.
 
@@ -203,7 +216,6 @@ def _write_markdown(entries, out_base: str, ds_name: str = "",
     silently passes off stale rows as fresh. A hand-written
     ``<out>_notes.md`` (if present) is appended verbatim below the table
     so curated per-method explanations survive regeneration."""
-    rows, fresh = _merge_rows(entries, out_base)
     budget = f", {epochs} epochs/task" if epochs else ""
     title = (f"# Survey sweep — `{ds_name}`{budget}, full two-phase "
              "framework + eval matrix" if ds_name else
@@ -225,6 +237,11 @@ def _write_markdown(entries, out_base: str, ds_name: str = "",
     name = os.path.basename(out_base)
     lines += ["", f"![accuracy curves]({name}_acc.png)", "",
               f"![forgetting curves]({name}_forgetting.png)", ""]
+    if os.path.exists(out_base + "_latestrun_acc.png"):
+        lines += ["", "(Canonical figures update only on a refresh that "
+                  "covers every table row; the most recent partial "
+                  f"refresh's curves are in `{name}_latestrun_acc.png` / "
+                  f"`{name}_latestrun_forgetting.png`.)", ""]
     notes_path = out_base + "_notes.md"
     if os.path.exists(notes_path):
         with open(notes_path) as f:

@@ -1,0 +1,115 @@
+"""Row-store merge + render policy of scripts/run_survey_demo.py.
+
+The flagship tables accumulate across rounds through a persistent
+per-method row store; a partial refresh must never truncate the table
+(VERDICT r3 Weak #1) NOR destroy the canonical figures/summary, which
+can only be regenerated from run artifacts in the current results tree
+(carried rows' curves are gone with the runtime state).
+"""
+
+import json
+import os
+from types import SimpleNamespace
+
+from scripts.run_survey_demo import _merge_rows, _write_markdown
+
+
+def _entry(name, acc, forg=1.0):
+    return SimpleNamespace(eval_name=name, exp_name="default",
+                           avg_acc=acc, avg_forgetting=forg,
+                           single_dot=False)
+
+
+def _seed_store(out_base):
+    rows = {
+        "EWC": {"exp": "lambda=400", "avg_acc": 45.11,
+                "avg_forgetting": 0.63, "commit": "aaaaaaa",
+                "date": "2026-08-18"},
+        "finetuning": {"exp": "default", "avg_acc": 46.83,
+                       "avg_forgetting": 7.87, "commit": "aaaaaaa",
+                       "date": "2026-08-18"},
+    }
+    with open(out_base + "_rows.json", "w") as f:
+        json.dump(rows, f)
+
+
+def test_partial_refresh_merges_not_truncates(tmp_path):
+    out = str(tmp_path / "tbl")
+    _seed_store(out)
+    rows, fresh = _merge_rows([_entry("LWF", 40.0)], out)
+    assert set(rows) == {"EWC", "finetuning", "LWF"}
+    assert fresh == {"LWF"}
+    # a second empty render keeps everything
+    rows2, fresh2 = _merge_rows([], out)
+    assert set(rows2) == set(rows) and fresh2 == set()
+
+
+def test_fresh_rows_overwrite_their_own_slot(tmp_path):
+    out = str(tmp_path / "tbl")
+    _seed_store(out)
+    rows, _ = _merge_rows([_entry("EWC", 50.0)], out)
+    assert rows["EWC"]["avg_acc"] == 50.0
+    assert rows["finetuning"]["avg_acc"] == 46.83
+
+
+def test_markdown_marks_carried_rows_and_keeps_notes(tmp_path):
+    out = str(tmp_path / "tbl")
+    _seed_store(out)
+    with open(out + "_notes.md", "w") as f:
+        f.write("## curated note\nsurvives regeneration")
+    rows, fresh = _merge_rows([_entry("LWF", 40.0)], out)
+    _write_markdown(rows, fresh, out, ds_name="synthetic_x", epochs=70)
+    md = open(out + ".md").read()
+    assert "| LWF |" in md and "(carried)" in md
+    # fresh row is NOT marked carried
+    lwf_line = [l for l in md.splitlines() if l.startswith("| LWF")][0]
+    assert "(carried)" not in lwf_line
+    assert "curated note" in md
+    # partial-refresh figures are pointed at when they exist
+    open(out + "_latestrun_acc.png", "wb").close()
+    _write_markdown(rows, fresh, out, ds_name="synthetic_x", epochs=70)
+    assert "_latestrun_acc.png" in open(out + ".md").read()
+
+
+def test_empty_tree_render_touches_no_figures(tmp_path, monkeypatch):
+    """postprocess([]) must not unlink canonical figures nor rewrite the
+    summary (the r3 truncation disease, in the side files)."""
+    import scripts.run_survey_demo as rsd
+
+    out = str(tmp_path / "tbl")
+    _seed_store(out)
+    for suffix in ("_acc.png", "_forgetting.png", "_summary.txt"):
+        with open(out + suffix, "w") as f:
+            f.write("committed-artifact")
+    monkeypatch.setattr(
+        rsd, "postprocess", rsd.postprocess)  # keep real function
+
+    class _Post:
+        @staticmethod
+        def collect_gridsearch_exp_entries(*a, **k):
+            return []
+
+        @staticmethod
+        def collect_hyperparams(*a, **k):
+            return None
+
+        @staticmethod
+        def pad_hyperparams(*a, **k):
+            return None
+
+        @staticmethod
+        def analyze_experiments(*a, **k):
+            raise AssertionError("must not render figures on empty tree")
+
+    import clsurvey_tpu.utilities as u
+    monkeypatch.setattr(u, "postprocessing", _Post, raising=False)
+    import sys
+    monkeypatch.setitem(sys.modules, "clsurvey_tpu.utilities.postprocessing",
+                        _Post)
+    entries, summary = rsd.postprocess("synthetic_x", out, epochs=70)
+    assert entries == []
+    assert "row store" in summary
+    for suffix in ("_acc.png", "_forgetting.png", "_summary.txt"):
+        assert open(out + suffix).read() == "committed-artifact"
+    md = open(out + ".md").read()
+    assert "| EWC |" in md and "| finetuning |" in md
