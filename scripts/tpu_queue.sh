@@ -10,6 +10,10 @@
 #   - blank lines / leading-# comments are skipped
 #   - a line consisting of "END" terminates the queue when reached;
 #     until then an exhausted file polls for appended items
+#   - items named cpu_* or *render* are chip-free (commands must force
+#     CPU, e.g. run_survey_demo --cpu): they skip the relay gate + tunnel
+#     gap AND still run inside the deadline-300 window, so a deadline cut
+#     can't lose a completed method's rows for want of a render
 #
 # Caps are budgeted off measured-CONTENDED costs (2-2.5x uncontended —
 # CLAUDE.md queue-cap sizing lesson); prefer many small items, each of
@@ -30,14 +34,15 @@ if [[ -n "$WAITPID" ]]; then
 fi
 
 while :; do
-  if (( $(date +%s) + 300 >= DEADLINE )); then
-    echo "{\"item\": \"_queue\", \"status\": \"deadline\", \"t\": $(date +%s)}" >> "$QLOG"
+  now=$(date +%s)
+  if (( now >= DEADLINE )); then
+    echo "{\"item\": \"_queue\", \"status\": \"deadline\", \"t\": $now}" >> "$QLOG"
     break
   fi
   idx=$(cat "$IDX_FILE")
   total=$(wc -l < "$QFILE")
   if (( idx >= total )); then
-    sleep 60
+    sleep 30
     continue
   fi
   line=$(sed -n "$((idx + 1))p" "$QFILE")
@@ -48,5 +53,9 @@ while :; do
   }
   [[ -z "$line" || "$line" == \#* ]] && continue
   name=${line%%|*}; rest=${line#*|}; cap=${rest%%|*}; cmd=${rest#*|}
+  if (( now + 300 >= DEADLINE )) && ! is_cpu_item "$name"; then
+    echo "{\"item\": \"$name\", \"status\": \"skipped_deadline\", \"t\": $now}" >> "$QLOG"
+    continue
+  fi
   run_item "$name" "$cap" bash -c "$cmd"
 done

@@ -27,33 +27,44 @@ No-Verification-Needed: run-artifact/docs-only commit from the serialized TPU qu
     2>/dev/null || true
 }
 
+# Items that never touch the chip (renders forced to CPU via
+# run_survey_demo --cpu) are named cpu_* or *render*: they skip the relay
+# gate and the tunnel-release gap, and — unlike TPU items — still run
+# inside the deadline-300 window, so a deadline cut can't lose a
+# completed method's rows for want of a render (r5 lesson).
+is_cpu_item() { [[ "$1" == cpu_* || "$1" == *render* ]]; }
+
 run_item() {  # name cap_secs cmd...
   local name="$1" cap="$2"; shift 2
   local now; now=$(date +%s)
-  if (( now + 300 >= DEADLINE )); then
-    echo "{\"item\": \"$name\", \"status\": \"skipped_deadline\", \"t\": $now}" >> "$QLOG"
-    return 1
+  if ! is_cpu_item "$name"; then
+    if (( now + 300 >= DEADLINE )); then
+      echo "{\"item\": \"$name\", \"status\": \"skipped_deadline\", \"t\": $now}" >> "$QLOG"
+      return 1
+    fi
+    for _ in 1 2 3 4 5 6; do relay_ok && break || sleep 300; done
+    if ! relay_ok; then
+      echo "{\"item\": \"$name\", \"status\": \"relay_down\", \"t\": $(date +%s)}" >> "$QLOG"
+      return 1
+    fi
+    # Recompute the remaining budget AFTER the relay wait (it can sleep up
+    # to ~25 min): an item started late must still respect the deadline —
+    # the driver gets the chip back no matter what (ADVICE r3).
+    now=$(date +%s)
+    if (( now + 300 >= DEADLINE )); then
+      echo "{\"item\": \"$name\", \"status\": \"skipped_deadline\", \"t\": $now}" >> "$QLOG"
+      return 1
+    fi
   fi
-  for _ in 1 2 3 4 5 6; do relay_ok && break || sleep 300; done
-  if ! relay_ok; then
-    echo "{\"item\": \"$name\", \"status\": \"relay_down\", \"t\": $(date +%s)}" >> "$QLOG"
-    return 1
-  fi
-  # Recompute the remaining budget AFTER the relay wait (it can sleep up
-  # to ~25 min): an item started late must still respect the deadline —
-  # the driver gets the chip back no matter what (ADVICE r3).
-  now=$(date +%s)
-  if (( now + 300 >= DEADLINE )); then
-    echo "{\"item\": \"$name\", \"status\": \"skipped_deadline\", \"t\": $now}" >> "$QLOG"
-    return 1
-  fi
-  local remain=$(( DEADLINE - now - 240 ))
+  local slack=240; is_cpu_item "$name" && slack=30
+  local remain=$(( DEADLINE - now - slack ))
+  (( remain < 1 )) && remain=1
   (( cap > remain )) && cap=$remain
   echo "{\"item\": \"$name\", \"status\": \"start\", \"t\": $now, \"cap\": $cap}" >> "$QLOG"
   timeout "$cap" "$@" > "$LOGDIR/${QTAG}_${name}.log" 2>&1
   local rc=$?
   echo "{\"item\": \"$name\", \"status\": \"done\", \"rc\": $rc, \"t\": $(date +%s)}" >> "$QLOG"
   commit_docs "$name"
-  sleep 180
+  if is_cpu_item "$name"; then sleep 5; else sleep 180; fi
   return 0
 }
