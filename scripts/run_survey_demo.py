@@ -285,9 +285,16 @@ def main(argv=None):
                     help="model name (default small_VGG9_cl_128_128; "
                          "tiny_CNN_cl_32_32 for CPU drives)")
     ap.add_argument("--postprocess_only", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon plugin ignores "
+                         "JAX_PLATFORMS; renders are chip-free on CPU and "
+                         "can run while a TPU item holds the chip)")
     ap.add_argument("--ds_suffix", default="",
                     help="extra synthetic name segments, e.g. _hd200")
     a = ap.parse_args(argv)
+    if a.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if a.model:
         global MODEL
         MODEL = a.model
