@@ -140,7 +140,11 @@ def postprocess(ds_name: str, out_base: str, epochs: int | None = None):
         # eval_name differs)
         method_name = methods_lib.parse(e.eval_name).name
         post.collect_hyperparams(e, method_name, hyperparams_counts=counts)
-    post.pad_hyperparams(entries, counts)
+    # no_framework methods (IMM) have no converged-hyperparam checkpoints;
+    # padding would render them as all-zero rows, so keep them out of the
+    # hyperparam table entirely (the summary table still carries them)
+    hp_entries = [e for e in entries if e.hyperparams]
+    post.pad_hyperparams(hp_entries, counts)
     os.makedirs(os.path.dirname(out_base) or ".", exist_ok=True)
     rows, fresh = _merge_rows(entries, out_base)
     # Figures and the summary text can only be regenerated from artifacts
@@ -164,7 +168,7 @@ def postprocess(ds_name: str, out_base: str, epochs: int | None = None):
         summary = post.analyze_experiments(
             entries, plot_seq_acc=True, plot_seq_forgetting=True,
             save_img_path=base, all_diff_color_force=False)
-        hp_table = post.print_hyperparam_table(entries)
+        hp_table = post.print_hyperparam_table(hp_entries)
         with open(base + "_summary.txt", "w") as f:
             f.write(summary + "\n\n" + hp_table + "\n")
     _write_markdown(rows, fresh, out_base, ds_name, epochs)
