@@ -140,10 +140,7 @@ def postprocess(ds_name: str, out_base: str, epochs: int | None = None):
         # eval_name differs)
         method_name = methods_lib.parse(e.eval_name).name
         post.collect_hyperparams(e, method_name, hyperparams_counts=counts)
-    # no_framework methods (IMM) have no converged-hyperparam checkpoints;
-    # padding would render them as all-zero rows, so keep them out of the
-    # hyperparam table entirely (the summary table still carries them)
-    hp_entries = [e for e in entries if e.hyperparams]
+    hp_entries = _hp_entries(entries)
     post.pad_hyperparams(hp_entries, counts)
     os.makedirs(os.path.dirname(out_base) or ".", exist_ok=True)
     rows, fresh = _merge_rows(entries, out_base)
@@ -173,6 +170,16 @@ def postprocess(ds_name: str, out_base: str, epochs: int | None = None):
             f.write(summary + "\n\n" + hp_table + "\n")
     _write_markdown(rows, fresh, out_base, ds_name, epochs)
     return entries, summary
+
+
+def _hp_entries(entries):
+    """Entries that belong in the converged-hyperparam table.
+
+    no_framework methods (IMM) have no per-task hyperparam checkpoints —
+    padding would render them as all-zero rows (the r4 render showed
+    mean_IMM/mode_IMM as ``0,0,...``), so they are excluded entirely;
+    the summary table still carries them."""
+    return [e for e in entries if e.hyperparams]
 
 
 def _merge_rows(entries, out_base: str):

@@ -71,6 +71,18 @@ def test_markdown_marks_carried_rows_and_keeps_notes(tmp_path):
     assert "_latestrun_acc.png" in open(out + ".md").read()
 
 
+def test_hyperparam_table_excludes_no_framework_entries():
+    """IMM (no_framework) collects zero hyperparams; it must be dropped
+    from the hyperparam table, not padded into an all-zero row."""
+    from scripts.run_survey_demo import _hp_entries
+
+    framework = SimpleNamespace(eval_name="EWC",
+                                hyperparams={"lambda": [400.0]})
+    no_framework = SimpleNamespace(eval_name="mean_IMM", hyperparams={})
+    kept = _hp_entries([framework, no_framework])
+    assert kept == [framework]
+
+
 def test_empty_tree_render_touches_no_figures(tmp_path, monkeypatch):
     """postprocess([]) must not unlink canonical figures nor rewrite the
     summary (the r3 truncation disease, in the side files)."""
