@@ -168,6 +168,14 @@ def postprocess(ds_name: str, out_base: str, epochs: int | None = None):
         hp_table = post.print_hyperparam_table(hp_entries)
         with open(base + "_summary.txt", "w") as f:
             f.write(summary + "\n\n" + hp_table + "\n")
+        if covers_all:
+            # the canonical figures are now at least as fresh as any
+            # partial refresh — drop the stale side files so the markdown
+            # stops pointing readers at outdated curves (ADVICE r4)
+            for side in ("_latestrun_acc.png", "_latestrun_forgetting.png",
+                         "_latestrun_summary.txt"):
+                if os.path.exists(out_base + side):
+                    os.unlink(out_base + side)
     _write_markdown(rows, fresh, out_base, ds_name, epochs)
     return entries, summary
 
@@ -240,9 +248,12 @@ def _write_markdown(rows, fresh, out_base: str, ds_name: str = "",
     for name_, r in sorted(rows.items(), key=lambda kv: -kv[1]["avg_acc"]):
         forg = ("n/a" if r["avg_forgetting"] is None
                 else f"{r['avg_forgetting']:.2f}")
-        src = f"`{r['commit']}` {r['date']}" if r.get("commit") else "—"
-        if name_ not in fresh:
-            src += " (carried)"
+        if r.get("commit"):
+            src = f"`{r['commit']}` {r['date']}"
+            if name_ not in fresh:
+                src += " (carried)"
+        else:
+            src = "(carried)" if name_ not in fresh else "—"
         lines.append(f"| {name_} | {r['exp']} | "
                      f"{r['avg_acc']:.2f} | {forg} | {src} |")
     name = os.path.basename(out_base)

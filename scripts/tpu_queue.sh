@@ -54,8 +54,20 @@ while :; do
   [[ -z "$line" || "$line" == \#* ]] && continue
   name=${line%%|*}; rest=${line#*|}; cap=${rest%%|*}; cmd=${rest#*|}
   if (( now + 300 >= DEADLINE )) && ! is_cpu_item "$name"; then
+    # rewind the idx so this TPU item stays PENDING for a relaunched
+    # runner with an extended deadline (ADVICE r4: advancing here
+    # silently consumed every remaining TPU line), then idle out the
+    # deadline window — any later CPU/render items are covered by the
+    # end-of-session out-of-band render
+    echo "$idx" > "$IDX_FILE"
     echo "{\"item\": \"$name\", \"status\": \"skipped_deadline\", \"t\": $now}" >> "$QLOG"
+    sleep 60
     continue
   fi
   run_item "$name" "$cap" bash -c "$cmd"
+  if (( $? == 2 )); then
+    # run_item hit the deadline window after its relay wait: same rewind
+    echo "$idx" > "$IDX_FILE"
+    sleep 60
+  fi
 done

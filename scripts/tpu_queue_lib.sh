@@ -40,7 +40,7 @@ run_item() {  # name cap_secs cmd...
   if ! is_cpu_item "$name"; then
     if (( now + 300 >= DEADLINE )); then
       echo "{\"item\": \"$name\", \"status\": \"skipped_deadline\", \"t\": $now}" >> "$QLOG"
-      return 1
+      return 2
     fi
     for _ in 1 2 3 4 5 6; do relay_ok && break || sleep 300; done
     if ! relay_ok; then
@@ -53,7 +53,7 @@ run_item() {  # name cap_secs cmd...
     now=$(date +%s)
     if (( now + 300 >= DEADLINE )); then
       echo "{\"item\": \"$name\", \"status\": \"skipped_deadline\", \"t\": $now}" >> "$QLOG"
-      return 1
+      return 2
     fi
   fi
   local slack=240; is_cpu_item "$name" && slack=30
