@@ -140,22 +140,38 @@ def postprocess(ds_name: str, out_base: str, epochs: int | None = None):
         # eval_name differs)
         method_name = methods_lib.parse(e.eval_name).name
         post.collect_hyperparams(e, method_name, hyperparams_counts=counts)
-    hp_entries = _hp_entries(entries)
-    post.pad_hyperparams(hp_entries, counts)
     os.makedirs(os.path.dirname(out_base) or ".", exist_ok=True)
     rows, fresh = _merge_rows(entries, out_base)
-    # Figures and the summary text can only be regenerated from artifacts
-    # in the CURRENT results tree — carried rows' curves are gone with the
-    # runtime state. Overwriting the canonical figure/summary with a
-    # subset would destroy committed evidence (the r3 truncation disease,
-    # in the side files), so the canonical names update only when the
-    # fresh set covers every method in the row store; a partial refresh
-    # renders to *_latestrun.* and an empty tree touches nothing.
+    # Carried rows whose curves were persisted into the row store render
+    # alongside the fresh artifacts — the figures are no longer hostage to
+    # whatever happens to be in the current results tree (r4 ADVICE: the
+    # runtime trees die with the VM; the store is committed).
+    carried = _carried_entries(rows, fresh)
+    for e in carried:
+        for k, vals in e.hyperparams.items():
+            counts[k] = max(counts.get(k, 0), len(vals))
+    all_entries = entries + carried
+    hp_entries = _hp_entries(all_entries)
+    post.pad_hyperparams(hp_entries, counts)
+    # Canonical-figure policy: coverage is MONOTONE — the canonical names
+    # update only when this render covers (fresh artifacts + stored
+    # curves) a superset of what the current canonical figures cover
+    # (tracked in <out>_canonical.json; if absent, the full row store —
+    # the strict legacy policy). Anything narrower renders to
+    # *_latestrun.* so committed evidence is never replaced by a subset
+    # (the r3 truncation disease); an empty render touches nothing.
+    canon_path = out_base + "_canonical.json"
+    if os.path.exists(canon_path):
+        with open(canon_path) as f:
+            prior_covers = set(json.load(f)["covers"])
+    else:
+        prior_covers = set(rows)
     summary = "(no run artifacts in the current results tree; " \
               "table rendered from the row store)"
-    if entries:
-        covers_all = fresh >= set(rows)
-        base = out_base if covers_all else out_base + "_latestrun"
+    if all_entries:
+        covered = {e.eval_name for e in all_entries}
+        canonical_ok = covered >= prior_covers
+        base = out_base if canonical_ok else out_base + "_latestrun"
         # render onto the chosen names: the library never overwrites a
         # figure (reference parity, _versioned), but the docs link the
         # unsuffixed files — refresh those instead of accreting _vN copies
@@ -163,12 +179,14 @@ def postprocess(ds_name: str, out_base: str, epochs: int | None = None):
             if os.path.exists(fig):
                 os.unlink(fig)
         summary = post.analyze_experiments(
-            entries, plot_seq_acc=True, plot_seq_forgetting=True,
+            all_entries, plot_seq_acc=True, plot_seq_forgetting=True,
             save_img_path=base, all_diff_color_force=False)
         hp_table = post.print_hyperparam_table(hp_entries)
         with open(base + "_summary.txt", "w") as f:
             f.write(summary + "\n\n" + hp_table + "\n")
-        if covers_all:
+        if canonical_ok:
+            with open(canon_path, "w") as f:
+                json.dump({"covers": sorted(covered)}, f, indent=1)
             # the canonical figures are now at least as fresh as any
             # partial refresh — drop the stale side files so the markdown
             # stops pointing readers at outdated curves (ADVICE r4)
@@ -177,7 +195,7 @@ def postprocess(ds_name: str, out_base: str, epochs: int | None = None):
                 if os.path.exists(out_base + side):
                     os.unlink(out_base + side)
     _write_markdown(rows, fresh, out_base, ds_name, epochs)
-    return entries, summary
+    return all_entries, summary
 
 
 def _hp_entries(entries):
@@ -219,10 +237,52 @@ def _merge_rows(entries, out_base: str):
             "avg_forgetting": (None if e.single_dot
                                else round(e.avg_forgetting, 2)),
             "commit": head, "date": stamp,
+            # persist the per-ref-task accuracy trajectories + converged
+            # hyperparams so carried rows stay fully renderable after the
+            # runtime results tree is gone (curves/figures were previously
+            # unrecoverable once the VM died)
+            "curves": {str(t): [round(float(v), 4) for v in e.seq_acc[t]]
+                       for t in sorted(e.seq_acc)},
+            "task_count": int(e.task_count),
+            "hyperparams": {k: [_jsonable(v) for v in vals]
+                            for k, vals in e.hyperparams.items()},
         }
     with open(rows_path, "w") as f:
         json.dump(rows, f, indent=1)
     return rows, {e.eval_name for e in entries}
+
+
+def _jsonable(v):
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    if hasattr(v, "item"):  # numpy scalar
+        return v.item()
+    return float(v)
+
+
+def _carried_entries(rows, fresh):
+    """Reconstruct plot/table entries for row-store methods that are NOT
+    in the current results tree but persisted their curves (``curves``
+    key, written by :func:`_merge_rows` since r5). Forgetting is
+    recomputed from the stored accuracy series exactly like the live
+    collector (postprocessing.collect)."""
+    from clsurvey_tpu.utilities.postprocessing import ExperimentDataEntry
+
+    out = []
+    for name, r in rows.items():
+        if name in fresh or not r.get("curves"):
+            continue
+        e = ExperimentDataEntry("", name, "", "", r.get("exp", ""), "")
+        e.seq_acc = {int(t): [float(v) for v in series]
+                     for t, series in r["curves"].items()}
+        e.seq_forgetting = {t: [s[0] - v for v in s[1:]]
+                            for t, s in e.seq_acc.items()}
+        e.task_count = int(r.get("task_count")
+                           or (max(e.seq_acc) if e.seq_acc else 0))
+        e.hyperparams = {k: list(v)
+                         for k, v in r.get("hyperparams", {}).items()}
+        out.append(e)
+    return out
 
 
 def _write_markdown(rows, fresh, out_base: str, ds_name: str = "",
@@ -259,10 +319,17 @@ def _write_markdown(rows, fresh, out_base: str, ds_name: str = "",
     name = os.path.basename(out_base)
     lines += ["", f"![accuracy curves]({name}_acc.png)", "",
               f"![forgetting curves]({name}_forgetting.png)", ""]
+    canon_path = out_base + "_canonical.json"
+    if os.path.exists(canon_path):
+        with open(canon_path) as f:
+            covers = json.load(f)["covers"]
+        lines += ["", f"(Canonical figures cover: {', '.join(covers)}. "
+                  "Coverage is monotone: they update only when a render — "
+                  "fresh artifacts plus row-store curves — covers a "
+                  "superset of the above.)", ""]
     if os.path.exists(out_base + "_latestrun_acc.png"):
-        lines += ["", "(Canonical figures update only on a refresh that "
-                  "covers every table row; the most recent partial "
-                  f"refresh's curves are in `{name}_latestrun_acc.png` / "
+        lines += ["", "(The most recent narrower refresh's curves are in "
+                  f"`{name}_latestrun_acc.png` / "
                   f"`{name}_latestrun_forgetting.png`.)", ""]
     notes_path = out_base + "_notes.md"
     if os.path.exists(notes_path):
