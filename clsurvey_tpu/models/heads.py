@@ -37,10 +37,40 @@ NEG_INF = -1e10
 #     signal; root cause of the h2h diagonal convergence gap (the ref
 #     hits 100.0 on just-trained tasks at 10 epochs, ours stalled at
 #     55-75 — docs/ref_head_to_head.md, shared-init study).
+#   "torch_pinned:<base>" — the h2h bit-identical-init control (VERDICT
+#     r4 #2): task t's head is the torch_default draw from a PRIVATE
+#     ``torch.Generator`` seeded with ``base + task_counter``
+#     (task_counter 1-based, like the reference's framework loop), drawn
+#     by torch itself so the bytes match the clone's pinned
+#     ``replace_last_classifier_layer`` (H2H_PIN_HEADS env, installed by
+#     scripts/h2h/prepare_clone.py). Pinning by task — instead of
+#     dumping every sequential draw — keeps the two sides bit-identical
+#     even when their attempt/lr-run counts diverge mid-sequence (a
+#     sequential dump would shift every later draw, and the attempt
+#     count divergence is exactly what the h2h measures).
 # Default stays "legacy" for round-4 artifact continuity (the protocol
 # tables were produced with it and mixed-init rows are not comparable);
 # flip to "torch_default" alongside a wholesale table regeneration.
 HEAD_INIT_SCHEME = os.environ.get("CLSURVEY_HEAD_INIT", "legacy")
+
+
+def _pinned_draw(base: int, task: int, feat_dim: int, num_classes: int):
+    """torch_default-distribution head draw for 0-based ``task``, drawn
+    with torch from Generator(base + task + 1) — weight then bias, the
+    exact call order of ``nn.Linear.reset_parameters``. Returns
+    (kernel (feat, C), bias (C,)) numpy arrays."""
+    import torch
+
+    g = torch.Generator().manual_seed(base + task + 1)
+    bound = float(np.sqrt(1.0 / feat_dim))
+    w = torch.empty(num_classes, feat_dim).uniform_(
+        -bound, bound, generator=g)
+    b = torch.empty(num_classes).uniform_(-bound, bound, generator=g)
+    return w.numpy().T.copy(), b.numpy().copy()
+
+
+def _pinned_base(scheme: str) -> int:
+    return int(scheme.split(":", 1)[1])
 
 
 def init_head_bank(key, max_tasks: int, feat_dim: int, num_classes: int,
@@ -48,7 +78,13 @@ def init_head_bank(key, max_tasks: int, feat_dim: int, num_classes: int,
     """Create the bank. ``class_counts[t]`` = real #classes of task t
     (defaults to all = num_classes)."""
     scheme = scheme or HEAD_INIT_SCHEME
-    if scheme == "torch_default":
+    if scheme.startswith("torch_pinned:"):
+        base = _pinned_base(scheme)
+        draws = [_pinned_draw(base, t, feat_dim, num_classes)
+                 for t in range(max_tasks)]
+        kernel = jnp.asarray(np.stack([d[0] for d in draws]))
+        bias = jnp.asarray(np.stack([d[1] for d in draws]))
+    elif scheme == "torch_default":
         kkey, bkey = jax.random.split(key)
         bound = float(np.sqrt(1.0 / feat_dim))
         kernel = jax.random.uniform(
@@ -77,6 +113,13 @@ def reinit_head(bank: dict, task: int, key, scheme: str | None = None) -> dict:
     ref:src/methods/Finetune/main_SGD.py:50-70; see HEAD_INIT_SCHEME for
     the draw distribution)."""
     scheme = scheme or HEAD_INIT_SCHEME
+    if scheme.startswith("torch_pinned:"):
+        k, b = _pinned_draw(_pinned_base(scheme), task,
+                            bank["kernel"].shape[1],
+                            bank["kernel"].shape[2])
+        return {**bank,
+                "kernel": bank["kernel"].at[task].set(jnp.asarray(k)),
+                "bias": bank["bias"].at[task].set(jnp.asarray(b))}
     if scheme == "torch_default":
         kkey, bkey = jax.random.split(key)
         feat_dim = bank["kernel"].shape[1]

@@ -90,6 +90,76 @@ def patch_text(text: str) -> str:
     return text
 
 
+# --- pinned-head patches (VERDICT r4 #2) ---------------------------------
+# Inert unless H2H_PIN_HEADS=<base_seed> is set at run time: every
+# replaced task head is then drawn from a private
+# torch.Generator(base + task_counter) instead of torch's global RNG —
+# the bit-identical-init control for the shared-init EWC study. Ours'
+# side replicates the draw in models/heads.py ("torch_pinned:<base>").
+# Covered sites: utilities.utils.replace_last_classifier_layer (the
+# Finetune/Phase-1 path) and EWC's inline head replacement
+# (ref:src/methods/EWC/main_EWC.py:52). Other methods' inline
+# replacements (LwF, rehearsal nets) are NOT pinned — the pinned study
+# runs finetuning + EWC only.
+PIN_HELPER = '''
+
+def h2h_pinned_linear(num_ftrs, out_dim):  # H2H PIN (prepare_clone.py)
+    import math as _math
+    import os as _os
+
+    import torch as _torch
+    lin = nn.Linear(num_ftrs, out_dim)
+    base = _os.environ.get("H2H_PIN_HEADS")
+    if base:
+        task = int(_os.environ.get("H2H_TASK_COUNTER", "1"))
+        g = _torch.Generator().manual_seed(int(base) + task)
+        bound = 1.0 / _math.sqrt(num_ftrs)
+        with _torch.no_grad():
+            lin.weight.uniform_(-bound, bound, generator=g)
+            lin.bias.uniform_(-bound, bound, generator=g)
+    return lin
+'''
+
+PIN_EDITS = {
+    # (file relpath): [(old_exact, new), ...]
+    os.path.join("utilities", "utils.py"): [(
+        "    model.classifier._modules[last_layer_index] = "
+        "nn.Linear(num_ftrs, out_dim)",
+        "    model.classifier._modules[last_layer_index] = "
+        "h2h_pinned_linear(num_ftrs, out_dim)",
+    )],
+    os.path.join("methods", "EWC", "main_EWC.py"): [(
+        "        model_ft.classifier._modules[last_layer_index] = "
+        "nn.Linear(num_ftrs, len(dset_classes))",
+        "        model_ft.classifier._modules[last_layer_index] = "
+        "utils.h2h_pinned_linear(num_ftrs, len(dset_classes))",
+    )],
+    os.path.join("framework", "main.py"): [(
+        "        args.task_counter = task_counter",
+        "        args.task_counter = task_counter\n"
+        "        os.environ['H2H_TASK_COUNTER'] = str(task_counter)"
+        "  # H2H PIN",
+    )],
+}
+
+
+def apply_pin_patches(src_dst: str) -> None:
+    for rel, edits in PIN_EDITS.items():
+        path = os.path.join(src_dst, rel)
+        with open(path) as f:
+            text = f.read()
+        if "H2H PIN" in text:
+            continue
+        for old, new in edits:
+            if old not in text:
+                raise RuntimeError(f"pin-patch anchor not found in {rel}")
+            text = text.replace(old, new)
+        if rel.endswith(os.path.join("utilities", "utils.py")):
+            text += PIN_HELPER
+        with open(path, "w") as f:
+            f.write(text)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dest",
@@ -117,6 +187,7 @@ def main(argv=None):
                 with open(path, "w") as f:
                     f.write(patched)
                 n_patched += 1
+    apply_pin_patches(src_dst)
 
     here = os.path.dirname(os.path.abspath(__file__))
     shims_dst = os.path.join(a.dest, "shims")

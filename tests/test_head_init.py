@@ -41,6 +41,35 @@ def test_torch_default_matches_nn_linear_distribution():
     assert b.any()  # legacy zeroes the bias; torch default does not
 
 
+def test_torch_pinned_bitmatches_reference_draw():
+    """torch_pinned:<base> must reproduce BYTE-identically what the
+    pinned clone draws (prepare_clone.py h2h_pinned_linear: nn.Linear
+    default init from a private Generator(base + task_counter), weight
+    then bias — the nn.Linear.reset_parameters call order)."""
+    import torch
+
+    base = 1000
+    bank = _bank(f"torch_pinned:{base}")
+    for task0 in range(TASKS):
+        g = torch.Generator().manual_seed(base + task0 + 1)
+        bound = 1.0 / np.sqrt(FEAT)
+        w = torch.empty(CLASSES, FEAT).uniform_(-bound, bound, generator=g)
+        b = torch.empty(CLASSES).uniform_(-bound, bound, generator=g)
+        np.testing.assert_array_equal(np.asarray(bank["kernel"][task0]),
+                                      w.numpy().T)
+        np.testing.assert_array_equal(np.asarray(bank["bias"][task0]),
+                                      b.numpy())
+    # reinit of a slot restores the same pinned draw (idempotent — the
+    # property that keeps both sides aligned across attempt-count
+    # divergence)
+    out = heads.reinit_head(bank, 1, jax.random.PRNGKey(99),
+                            scheme=f"torch_pinned:{base}")
+    np.testing.assert_array_equal(out["kernel"][1], bank["kernel"][1])
+    # a different base gives a different draw
+    other = _bank(f"torch_pinned:{base + 1}")
+    assert not np.array_equal(other["kernel"][0], bank["kernel"][0])
+
+
 def test_reinit_head_touches_one_slot_per_scheme():
     for scheme in ("legacy", "torch_default"):
         bank = _bank(scheme)
