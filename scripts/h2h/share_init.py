@@ -39,6 +39,30 @@ OURS_INIT = os.path.join(
 CLONE = os.path.join(REPO, "clsurvey_runs", "refclone")
 
 
+def _create_ours_init(path: str, ds_name: str = "synthetic_3t_4c_32px_80n",
+                      seed: int = 7):
+    """Self-heal the ours-side h2h init model (the runtime models root
+    dies with the VM; the draw is deterministic in (model, seed) — same
+    PRNGKey(seed) split as framework/main.py's create_init_model, so a
+    recreated file is bit-identical to what any h2h ours leg creates)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from clsurvey_tpu.data import registry as data_registry
+    from clsurvey_tpu.models import registry as models_registry
+
+    models_root = os.path.dirname(os.path.dirname(path))
+    dataset = data_registry.parse(ds_name)
+    spec = models_registry.parse_model_name(
+        models_root, "small_VGG9_cl_128_128",
+        input_size=dataset.input_size)
+    max_tasks = dataset.task_count
+    models_registry.create_init_model(
+        spec, jax.random.PRNGKey(seed), max_tasks=max_tasks,
+        classes_per_task=dataset.max_classes_per_task,
+        class_counts=dataset.class_count_list())
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ours_init", default=OURS_INIT)
@@ -57,6 +81,8 @@ def main(argv=None):
 
     from clsurvey_tpu.utils import io
 
+    if not os.path.exists(a.ours_init):
+        _create_ours_init(a.ours_init)
     ours = io.load(a.ours_init)
     params = ours["params"]
 

@@ -299,6 +299,14 @@ def _write_markdown(rows, fresh, out_base: str, ds_name: str = "",
     title = (f"# Survey sweep — `{ds_name}`{budget}, full two-phase "
              "framework + eval matrix" if ds_name else
              "# Survey demo — all methods through the full pipeline")
+    # hand-curated per-row caveats (<out>_flags.json: method -> text)
+    # render INLINE so no headline number can outrun its own caveat
+    # (VERDICT r4 Weak #1: rows the notes disavow must say so in the row)
+    flags_path = out_base + "_flags.json"
+    flags = {}
+    if os.path.exists(flags_path):
+        with open(flags_path) as f:
+            flags = json.load(f)
     lines = [
         title, "",
         "| method | exp | avg acc (final model) | avg forgetting | "
@@ -314,8 +322,12 @@ def _write_markdown(rows, fresh, out_base: str, ds_name: str = "",
                 src += " (carried)"
         else:
             src = "(carried)" if name_ not in fresh else "—"
+        acc = f"{r['avg_acc']:.2f}" + (" ⚠" if name_ in flags else "")
         lines.append(f"| {name_} | {r['exp']} | "
-                     f"{r['avg_acc']:.2f} | {forg} | {src} |")
+                     f"{acc} | {forg} | {src} |")
+    for name_ in sorted(flags):
+        if name_ in rows:
+            lines.append(f"\n⚠ **{name_}** — {flags[name_]}")
     name = os.path.basename(out_base)
     lines += ["", f"![accuracy curves]({name}_acc.png)", "",
               f"![forgetting curves]({name}_forgetting.png)", ""]
