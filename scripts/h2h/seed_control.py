@@ -31,35 +31,45 @@ from scripts.h2h.diff import read_side  # noqa: E402
 
 DS = "synthetic_3t_4c_32px_80n"
 METHODS = ("finetuning", "EWC")
-ROOTS = {
-    7: os.path.join(REPO, "clsurvey_runs", "h2h_ours", "results"),
-    8: os.path.join(REPO, "clsurvey_runs", "h2h_ours_s8", "results"),
-    9: os.path.join(REPO, "clsurvey_runs", "h2h_ours_s9", "results"),
-    10: os.path.join(REPO, "clsurvey_runs", "h2h_ours_s10", "results"),
+
+
+def _root(name):
+    return os.path.join(REPO, "clsurvey_runs", name, "results")
+
+
+# per-dataset seed roots: the separable set (r4 control) + the hd150
+# hard-mode pair (VERDICT r4 Weak #3: the hd150 h2h means had no
+# within-framework noise envelope measured in the same regime)
+DATASETS = {
+    DS: {7: _root("h2h_ours"), 8: _root("h2h_ours_s8"),
+         9: _root("h2h_ours_s9"), 10: _root("h2h_ours_s10")},
+    DS + "_hd150": {7: _root("h2h_ours_hd150"),
+                    8: _root("h2h_ours_hd150_s8")},
 }
 
 
-def load_cells(root):
+def load_cells(root, ds):
     """{(method, task): [accs]} eval cells for one seed root."""
     cells = {}
     for method in METHODS:
         side = read_side(os.path.join(root, "train"),
-                         os.path.join(root, "test", "results"), DS, method)
+                         os.path.join(root, "test", "results"), ds, method)
         for t, accs in side["eval"].items():
             cells[(method, t)] = accs
     return cells
 
 
-def main():
+def _section(ds, roots):
+    """Pair statistics for one dataset, or None if <2 roots on disk."""
     sides = {}
-    for seed, root in ROOTS.items():
+    for seed, root in roots.items():
         if not os.path.isdir(root):
             continue
-        cells = load_cells(root)
+        cells = load_cells(root, ds)
         if cells:
             sides[seed] = cells
     if len(sides) < 2:
-        raise SystemExit("need >= 2 completed seed roots")
+        return None
 
     pairs = []
     for a, b in itertools.combinations(sorted(sides), 2):
@@ -78,9 +88,9 @@ def main():
 
     abs_means = [p["mean_abs"] for p in pairs]
     signed_means = [p["mean_signed"] for p in pairs]
-    out = {
+    return {
         "seeds": sorted(sides),
-        "scope": f"{'+'.join(METHODS)} on {DS}",
+        "scope": f"{'+'.join(METHODS)} on {ds}",
         "pairs": pairs,
         "pooled_mean_abs": sum(abs_means) / len(abs_means),
         "max_abs": max(p["max_abs"] for p in pairs),
@@ -89,10 +99,32 @@ def main():
         "mean_abs": sum(abs_means) / len(abs_means),
         "cells": sum(p["cells"] for p in pairs),
     }
+
+
+def main():
     path = os.path.join(REPO, "docs", "h2h_seed_control.json")
+    # merge-not-truncate: sections whose runtime roots are gone (they die
+    # with the VM) are carried from the committed file
+    out = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+    by_ds = out.setdefault("by_ds", {})
+    computed = []
+    for ds, roots in DATASETS.items():
+        sec = _section(ds, roots)
+        if sec is not None:
+            by_ds[ds] = sec
+            computed.append(ds)
+    if not computed and not by_ds:
+        raise SystemExit("need >= 2 completed seed roots for some dataset")
+    # legacy top-level fields mirror the separable section
+    legacy = by_ds.get(DS)
+    if legacy:
+        out.update(legacy)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    print("wrote", path)
+    print("wrote", path, "computed:", computed or "(carried only)")
     print(json.dumps(out, indent=1))
 
 
