@@ -110,6 +110,13 @@ def main():
         with open(path) as f:
             out = json.load(f)
     by_ds = out.setdefault("by_ds", {})
+    if DS not in by_ds and out.get("pairs"):
+        # migrate a pre-r5 (flat-schema) file: its top-level stats ARE
+        # the separable-set section
+        by_ds[DS] = {k: out[k] for k in
+                     ("seeds", "scope", "pairs", "pooled_mean_abs",
+                      "max_abs", "max_abs_mean_signed", "mean_abs",
+                      "cells") if k in out}
     computed = []
     for ds, roots in DATASETS.items():
         sec = _section(ds, roots)
