@@ -50,6 +50,9 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=200)
     ap.add_argument("--lr_grid", default="5e-3,1e-3")
     ap.add_argument("--methods", default="finetuning,SI")
+    ap.add_argument("--shp", action="append", default=[],
+                    help="per-method static-hyperparam override, e.g. "
+                         "ICARL=1024 (rehearsal memory size at scale)")
     ap.add_argument("--max_attempts", type=int, default=3)
     ap.add_argument("--out", default="docs/recogseq_scale.json")
     ap.add_argument("--cpu", action="store_true")
@@ -114,8 +117,10 @@ def main(argv=None):
         print(f"\n== {name} ==", flush=True)
         t1 = time.time()
         try:
-            manager = run_main(RunArgs(method_name=name, test=True,
-                                       **common))
+            shp = dict(s.split("=", 1) for s in a.shp)
+            manager = run_main(RunArgs(
+                method_name=name, test=True,
+                static_hyperparams=shp.get(name), **common))
             # collect the per-ref-task final-model accuracy row
             out_dir = paths_lib.get_test_results_path(
                 ds_name, name, "alexnet", GRID, manager.exp_name,
