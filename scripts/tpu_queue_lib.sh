@@ -15,7 +15,11 @@ mkdir -p "$LOGDIR"
 # client stalled forever in connect backoff).
 relay_ok() {
   ss -ltn 2>/dev/null | grep -q ':8082 ' || return 1
-  timeout 180 python -c 'import jax; jax.devices()' >/dev/null 2>&1
+  # a COMPUTE probe, not just jax.devices(): the r5 wedge state answers
+  # the handshake fine while every real device computation hangs forever
+  # (futex-wait on an RPC reply) — devices() as a gate fed item after
+  # item into the wedge
+  timeout 180 python -c 'import jax, jax.numpy as jnp; x = jnp.ones((8, 8)); assert float((x @ x).sum()) == 512.0' >/dev/null 2>&1
 }
 
 commit_docs() {
