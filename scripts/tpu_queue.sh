@@ -65,9 +65,17 @@ while :; do
     continue
   fi
   run_item "$name" "$cap" bash -c "$cmd"
-  if (( $? == 2 )); then
+  rc=$?
+  if (( rc == 2 )); then
     # run_item hit the deadline window after its relay wait: same rewind
     echo "$idx" > "$IDX_FILE"
     sleep 60
+  elif (( rc == 1 )); then
+    # relay/chip down after the full retry budget: keep the item PENDING
+    # and keep gating — the relay can only be restored externally (r2),
+    # and consuming items while the chip is dead churns the whole queue
+    # into relay_down lines (r5 wedge)
+    echo "$idx" > "$IDX_FILE"
+    sleep 120
   fi
 done
