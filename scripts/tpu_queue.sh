@@ -77,5 +77,9 @@ while :; do
     # into relay_down lines (r5 wedge)
     echo "$idx" > "$IDX_FILE"
     sleep 120
+  elif (( rc == 3 )); then
+    # wedge_kill: the payload froze at first compute (intermittent r5
+    # wedge) and was killed after 10 min — retry the same item
+    echo "$idx" > "$IDX_FILE"
   fi
 done

@@ -14,12 +14,13 @@ mkdir -p "$LOGDIR"
 # port + a tiny jax probe (r2: the relay died mid-round and every new
 # client stalled forever in connect backoff).
 relay_ok() {
+  # Cheap liveness only (port + handshake). The r5 wedge strikes
+  # individual clients at first COMPUTE (futex-wait on an RPC reply,
+  # intermittent — one client hangs while a concurrently-started one
+  # succeeds), so no pre-flight probe can clear an item: the payload
+  # itself is watchdogged instead (see run_item).
   ss -ltn 2>/dev/null | grep -q ':8082 ' || return 1
-  # a COMPUTE probe, not just jax.devices(): the r5 wedge state answers
-  # the handshake fine while every real device computation hangs forever
-  # (futex-wait on an RPC reply) — devices() as a gate fed item after
-  # item into the wedge
-  timeout 180 python -c 'import jax, jax.numpy as jnp; x = jnp.ones((8, 8)); assert float((x @ x).sum()) == 512.0' >/dev/null 2>&1
+  timeout 120 python -c 'import jax; jax.devices()' >/dev/null 2>&1
 }
 
 commit_docs() {
@@ -65,8 +66,31 @@ run_item() {  # name cap_secs cmd...
   (( remain < 1 )) && remain=1
   (( cap > remain )) && cap=$remain
   echo "{\"item\": \"$name\", \"status\": \"start\", \"t\": $now, \"cap\": $cap}" >> "$QLOG"
-  timeout "$cap" "$@" > "$LOGDIR/${QTAG}_${name}.log" 2>&1
-  local rc=$?
+  local log="$LOGDIR/${QTAG}_${name}.log"
+  # Wedge watchdog (r5): run the payload unbuffered in its own process
+  # group; if the log stays FROZEN for 600 s the client has hit the
+  # intermittent first-compute wedge (a healthy protocol run prints an
+  # epoch line every few seconds and its silent phases — datagen,
+  # remote compile — are minutes, not ten). Kill the group and return 3
+  # so the caller rewinds and retries the item instead of burning the
+  # full cap on a dead client.
+  PYTHONUNBUFFERED=1 setsid timeout "$cap" "$@" > "$log" 2>&1 &
+  local pay=$!
+  local frozen=0 last=-1 sz rc
+  while kill -0 "$pay" 2>/dev/null; do
+    sleep 30
+    sz=$(stat -c%s "$log" 2>/dev/null || echo 0)
+    if (( sz == last )); then frozen=$(( frozen + 30 )); else frozen=0; last=$sz; fi
+    if (( frozen >= 600 )) && ! is_cpu_item "$name"; then
+      kill -TERM -- -"$pay" 2>/dev/null; sleep 5
+      kill -KILL -- -"$pay" 2>/dev/null
+      echo "{\"item\": \"$name\", \"status\": \"wedge_kill\", \"t\": $(date +%s)}" >> "$QLOG"
+      commit_docs "$name"
+      sleep 60
+      return 3
+    fi
+  done
+  wait "$pay"; rc=$?
   echo "{\"item\": \"$name\", \"status\": \"done\", \"rc\": $rc, \"t\": $(date +%s)}" >> "$QLOG"
   commit_docs "$name"
   if is_cpu_item "$name"; then sleep 5; else sleep 180; fi
