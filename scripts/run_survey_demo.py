@@ -339,8 +339,22 @@ def _write_markdown(rows, fresh, out_base: str, ds_name: str = "",
                   "Coverage is monotone: they update only when a render — "
                   "fresh artifacts plus row-store curves — covers a "
                   "superset of the above.)", ""]
+        # rows whose curves were never persisted (pre-r5 runs) and whose
+        # runtime artifacts are gone cannot appear in any future render;
+        # say so instead of letting the frozen coverage read as a bug
+        stuck = [m for m in covers if m in rows and m not in fresh
+                 and not rows[m].get("curves")]
+        if stuck:
+            lines += ["", f"(Curves for {', '.join(sorted(stuck))} predate "
+                      "row-store curve persistence and their runtime "
+                      "artifacts were cleaned, so the canonical figures "
+                      "above are the only remaining render of them; "
+                      "refreshes of the newer rows land in the "
+                      "`*_latestrun.*` figures — the two sets together "
+                      "are the full curve evidence.)", ""]
     if os.path.exists(out_base + "_latestrun_acc.png"):
-        lines += ["", "(The most recent narrower refresh's curves are in "
+        lines += ["", "(The most recent refresh's curves — every row with "
+                  "persisted curves plus the current results tree — are in "
                   f"`{name}_latestrun_acc.png` / "
                   f"`{name}_latestrun_forgetting.png`.)", ""]
     notes_path = out_base + "_notes.md"
