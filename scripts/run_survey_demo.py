@@ -232,11 +232,10 @@ def _merge_rows(entries, out_base: str):
         head = ""
     stamp = time.strftime("%Y-%m-%d")
     for e in entries:
-        rows[e.eval_name] = {
+        new = {
             "exp": e.exp_name, "avg_acc": round(e.avg_acc, 2),
             "avg_forgetting": (None if e.single_dot
                                else round(e.avg_forgetting, 2)),
-            "commit": head, "date": stamp,
             # persist the per-ref-task accuracy trajectories + converged
             # hyperparams so carried rows stay fully renderable after the
             # runtime results tree is gone (curves/figures were previously
@@ -247,6 +246,15 @@ def _merge_rows(entries, out_base: str):
             "hyperparams": {k: [_jsonable(v) for v in vals]
                             for k, vals in e.hyperparams.items()},
         }
+        prev = rows.get(e.eval_name)
+        if prev and all(prev.get(k) == v for k, v in new.items()):
+            # same artifacts re-collected by a render — "produced at"
+            # keeps pointing at the run that trained them, not at HEAD
+            new["commit"] = prev.get("commit", head)
+            new["date"] = prev.get("date", stamp)
+        else:
+            new["commit"], new["date"] = head, stamp
+        rows[e.eval_name] = new
     with open(rows_path, "w") as f:
         json.dump(rows, f, indent=1)
     return rows, {e.eval_name for e in entries}
