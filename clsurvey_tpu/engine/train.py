@@ -512,11 +512,21 @@ class TrainJob:
 
 
 def model_state_dict(ctx: EngineContext, state: TrainState,
-                     meta: dict | None = None) -> dict:
+                     meta: dict | None = None,
+                     include_aux: bool = True) -> dict:
     """The canonical on-disk model format ({'params','batch_stats','heads',
     'meta'[,'method_aux']}) — the inter-task / eval interchange artifact,
     replacing the reference's whole-module pickles (which carry
-    ``model.reg_params`` along, hence ``method_aux``)."""
+    ``model.reg_params`` along, hence ``method_aux``).
+
+    ``include_aux=False`` skips the method-aux export: rehearsal-class
+    rules export >100 MB of uint8 exemplar rows, and pulling that through
+    the device tunnel on every improvement epoch dominated the epoch loop
+    (measured ~10 s/epoch on the hd200 protocol). ``train_task`` builds
+    its per-epoch snapshots without aux and attaches it ONCE per attempt
+    (the past-task buffers a replay loss reads are static within an
+    attempt; the current task's ring is the last-n rows seen either way,
+    so the attempt-end ring is the same uniform exemplar sample)."""
     out = {
         "params": state.trainable["params"],
         "batch_stats": state.batch_stats,
@@ -525,9 +535,10 @@ def model_state_dict(ctx: EngineContext, state: TrainState,
                   "class_counts": np.asarray(ctx.class_counts)},
         "meta": dict(meta or {}),
     }
-    aux = ctx.update_rule.export_aux(state.mstate)
-    if aux is not None:
-        out["method_aux"] = aux
+    if include_aux:
+        aux = ctx.update_rule.export_aux(state.mstate)
+        if aux is not None:
+            out["method_aux"] = aux
     return io.to_host(out)
 
 
@@ -636,9 +647,25 @@ def train_task(engine: Engine, job: TrainJob, state: TrainState,
     # host snapshot of the task-start model: the fallback for runs that
     # never improve (a NaN-aborted final state is itself poisoned and must
     # not chain into the next task)
+    # aux_heavy rules (rehearsal family) defer the >100 MB exemplar-memory
+    # export to one attach per attempt; everyone else keeps the exact
+    # best-epoch aux snapshot (SI's path integral w MUST be the best-epoch
+    # value — the reference pickles model.W inside the best checkpoint,
+    # ref:src/methods/SI/train_SI.py early-stop save)
+    aux_heavy = bool(getattr(ctx.update_rule, "aux_heavy", False))
     init_model = model_state_dict(
         ctx, state, meta={"task": ctx.task, "n_tasks": ctx.n_tasks,
-                          "failed_attempt": True})
+                          "failed_attempt": True},
+        include_aux=not aux_heavy)
+
+    # periodic resume state: rehearsal-class mstates carry >100 MB of
+    # uint8 exemplar rows; checkpointing them every saving_freq epochs
+    # costs a full device->host pull each time, so large states stretch
+    # the period 4x (a killed run redoes <=19 epochs instead of <=4)
+    mstate_bytes = sum(getattr(x, "nbytes", 0)
+                       for x in jax.tree_util.tree_leaves(state.mstate))
+    ckpt_freq = job.saving_freq * (4 if mstate_bytes > (32 << 20) else 1)
+    ran_epochs = False
 
     root_key = jax.random.PRNGKey(job.seed)
     for epoch in range(start_epoch, job.num_epochs):
@@ -654,6 +681,7 @@ def train_task(engine: Engine, job: TrainJob, state: TrainState,
         ekey = jax.random.fold_in(root_key, epoch)
         pkey, skey = jax.random.split(ekey)
         perm = jax.random.permutation(pkey, n_train)
+        ran_epochs = True
         if stream_train:
             state, metrics = engine.train_epoch_chunked(
                 state, train_np, train_labels_np, np.asarray(perm), skey,
@@ -701,7 +729,8 @@ def train_task(engine: Engine, job: TrainJob, state: TrainState,
             val_beat_counts = 0
             best_model = model_state_dict(
                 ctx, state, meta={"task": ctx.task, "n_tasks": ctx.n_tasks,
-                                  "epoch": epoch, "val_acc": val_acc})
+                                  "epoch": epoch, "val_acc": val_acc},
+                include_aux=not aux_heavy)
             if job.save_models_mode:
                 io.save(best_model, best_path)
                 # memory telemetry next to every best model
@@ -712,7 +741,7 @@ def train_task(engine: Engine, job: TrainJob, state: TrainState,
         else:
             val_beat_counts += 1
 
-        if job.save_models_mode and (epoch % job.saving_freq == 0
+        if job.save_models_mode and (epoch % ckpt_freq == 0
                                      or epoch == job.num_epochs - 1):
             meta = {"epoch": epoch, "lr": lr, "best_acc": best_acc,
                     "val_beat_counts": val_beat_counts}
@@ -731,10 +760,21 @@ def train_task(engine: Engine, job: TrainJob, state: TrainState,
             else:
                 io.save({**meta, **trees}, ckpt_path)
 
+    need_save = False
     if best_model is None:  # zero-epoch or fully-failed (e.g. NaN) runs
         best_model = init_model
-        if job.save_models_mode:
-            # downstream phases chain through best_model.pth.tar on disk;
-            # a retained-but-never-improved attempt must still leave one
-            io.save(best_model, best_path)
+        # downstream phases chain through best_model.pth.tar on disk;
+        # a retained-but-never-improved attempt must still leave one
+        need_save = True
+    # aux_heavy: attach the method aux ONCE per attempt (see
+    # model_state_dict): any path that completes an attempt ends here, so
+    # every best_model a SUCCESS flag vouches for carries its aux. A
+    # resumed already-complete attempt whose best_model (old format)
+    # carries aux skips the re-pull.
+    aux = (ctx.update_rule.export_aux(state.mstate) if aux_heavy else None)
+    if aux is not None and (ran_epochs or "method_aux" not in best_model):
+        best_model["method_aux"] = io.to_host(aux)
+        need_save = True
+    if need_save and job.save_models_mode:
+        io.save(best_model, best_path)
     return best_model, best_acc, state

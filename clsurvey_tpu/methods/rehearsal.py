@@ -155,6 +155,8 @@ def _exemplar_split(n_append: int, n_parts: int) -> tuple:
 # ---------------------------------------------------------------------------
 
 class GEMRule(UpdateRule):
+    aux_heavy = True  # uint8 exemplar memory: attach once per attempt
+
     def __init__(self, n_memories: int, mem_batch: int = 256):
         self.n_memories = int(n_memories)
         self.mem_batch = int(mem_batch)
@@ -309,6 +311,8 @@ class ReplayRule(UpdateRule):
     ``observe_FT``). ``n_append`` exemplars per batch split over past tasks;
     loss adds the mean of per-task exemplar CE means."""
 
+    aux_heavy = True  # uint8 exemplar memory: attach once per attempt
+
     def __init__(self, n_memories: int, n_append: int,
                  per_task_mem: int | None = None):
         self.n_memories = int(n_memories)       # buffer capacity per task
@@ -390,6 +394,7 @@ class ICarlRule(UpdateRule):
     stored pre-update outputs (ref:icarl.py:482-598), T=2."""
 
     T = 2.0
+    aux_heavy = True  # uint8 exemplar store: attach once per attempt
 
     def __init__(self, n_append: int):
         self.n_append = int(n_append)
