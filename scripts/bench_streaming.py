@@ -132,11 +132,13 @@ def main(argv=None):
     dev = jax.device_put(chunk)
     jax.block_until_ready(dev)  # warm the path
     uploads = []
-    for _ in range(4):
+    for i in range(4):
         t0 = time.perf_counter()
         dev = jax.device_put(chunk)
         jax.block_until_ready(dev)
         uploads.append(time.perf_counter() - t0)
+        # progress lines keep the queue watchdog's frozen-log check fed
+        print(f"upload probe {i}: {uploads[-1]:.1f}s", flush=True)
     upload_secs_chunk = min(uploads)
     del dev
     upload_mbps = chunk.nbytes / 2 ** 20 / upload_secs_chunk
@@ -157,13 +159,21 @@ def main(argv=None):
         return time.perf_counter() - t0
 
     stream_epoch.state = state
-    stream_epoch(0)
-    stream_secs = min(stream_epoch(e + 1) for e in range(a.epochs))
+    t = stream_epoch(0)
+    print(f"stream warmup epoch: {t:.1f}s", flush=True)
+    stream_times = []
+    for e in range(a.epochs):
+        stream_times.append(stream_epoch(e + 1))
+        print(f"stream epoch {e}: {stream_times[-1]:.1f}s", flush=True)
+    stream_secs = min(stream_times)
     stream_hbm_peak = hbm_peak()
 
     # resident comparison: same step, split fits in HBM
+    print("uploading resident split...", flush=True)
     res_imgs = jnp.asarray(imgs_np[: a.n_res])
     res_lbls = jnp.asarray(lbls_np[: a.n_res])
+    jax.block_until_ready(res_imgs)
+    print("resident split uploaded", flush=True)
 
     def res_epoch(e):
         ekey = jax.random.fold_in(key, 100 + e)
@@ -176,8 +186,13 @@ def main(argv=None):
         return time.perf_counter() - t0
 
     res_epoch.state = stream_epoch.state
-    res_epoch(0)
-    res_secs = min(res_epoch(e + 1) for e in range(a.epochs))
+    t = res_epoch(0)
+    print(f"resident warmup epoch: {t:.1f}s", flush=True)
+    res_times = []
+    for e in range(a.epochs):
+        res_times.append(res_epoch(e + 1))
+        print(f"resident epoch {e}: {res_times[-1]:.1f}s", flush=True)
+    res_secs = min(res_times)
 
     result = {
         "stream_rows": a.n_stream,
